@@ -1,0 +1,230 @@
+"""Scheduler core: β-schedules, stateless pytree states, config (de)serialization.
+
+TPU-native re-design of the reference's scheduler stack
+(`diffusers/src/diffusers/schedulers/`): every scheduler is a *pure-function*
+object — static, hashable config on the Python side; all mutable quantities
+(timestep tables, multistep ring buffers, step counters) live in a
+`flax.struct` pytree ``State`` that threads through `lax.scan`. This is the
+Flax-scheduler pattern the reference ships as prior art
+(scheduling_ddpm_flax.py:26-110) pushed to the whole zoo.
+
+Serialization keeps the HF on-disk contract (``scheduler_config.json`` with a
+``_class_name`` key; reference schedulers/scheduling_utils.py:62-176) so runs
+are interchangeable with the reference's checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+from typing import Any, Dict, Optional, Tuple, Type
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+SCHEDULER_CONFIG_NAME = "scheduler_config.json"
+
+
+def make_betas(
+    beta_schedule: str,
+    beta_start: float,
+    beta_end: float,
+    num_train_timesteps: int,
+    trained_betas=None,
+    max_beta: float = 0.999,
+) -> np.ndarray:
+    """β-table construction matching reference scheduling_ddpm.py:140-157
+    (linear / scaled_linear / squaredcos_cap_v2 / sigmoid), float32."""
+    if trained_betas is not None:
+        return np.asarray(trained_betas, dtype=np.float32)
+    if beta_schedule == "linear":
+        return np.linspace(beta_start, beta_end, num_train_timesteps, dtype=np.float32)
+    if beta_schedule == "scaled_linear":
+        return (
+            np.linspace(beta_start**0.5, beta_end**0.5, num_train_timesteps, dtype=np.float32) ** 2
+        ).astype(np.float32)
+    if beta_schedule == "squaredcos_cap_v2":
+        # alpha_bar(t) = cos((t + 0.008) / 1.008 * pi/2)^2  (Glide cosine schedule)
+        def alpha_bar(t):
+            return math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+
+        betas = []
+        for i in range(num_train_timesteps):
+            t1 = i / num_train_timesteps
+            t2 = (i + 1) / num_train_timesteps
+            betas.append(min(1 - alpha_bar(t2) / alpha_bar(t1), max_beta))
+        return np.asarray(betas, dtype=np.float32)
+    if beta_schedule == "sigmoid":
+        betas = 1.0 / (1.0 + np.exp(-np.linspace(-6, 6, num_train_timesteps)))
+        return (betas * (beta_end - beta_start) + beta_start).astype(np.float32)
+    raise NotImplementedError(f"beta_schedule {beta_schedule!r} is not implemented")
+
+
+@struct.dataclass
+class DiffusionSchedule:
+    """The shared α/β tables every discrete-time scheduler carries."""
+
+    betas: jnp.ndarray  # [T] f32
+    alphas: jnp.ndarray  # [T] f32
+    alphas_cumprod: jnp.ndarray  # [T] f32
+
+    @classmethod
+    def create(cls, config) -> "DiffusionSchedule":
+        betas = make_betas(
+            config.beta_schedule,
+            config.beta_start,
+            config.beta_end,
+            config.num_train_timesteps,
+            getattr(config, "trained_betas", None),
+        )
+        alphas = (1.0 - betas).astype(np.float32)
+        alphas_cumprod = np.cumprod(alphas, dtype=np.float32)
+        return cls(
+            betas=jnp.asarray(betas),
+            alphas=jnp.asarray(alphas),
+            alphas_cumprod=jnp.asarray(alphas_cumprod),
+        )
+
+
+def spaced_timesteps(num_train_timesteps: int, num_inference_steps: int) -> np.ndarray:
+    """'leading'-spaced descending inference timesteps, matching the reference
+    DDPM/DDIM spacing (scheduling_ddpm.py:244-245): round(arange(n) * T//n)[::-1]."""
+    if num_inference_steps > num_train_timesteps:
+        raise ValueError(
+            f"num_inference_steps {num_inference_steps} > num_train_timesteps {num_train_timesteps}"
+        )
+    step_ratio = num_train_timesteps // num_inference_steps
+    return (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].astype(np.int32)
+
+
+def add_noise_common(alphas_cumprod: jnp.ndarray, original: jnp.ndarray, noise: jnp.ndarray, timesteps: jnp.ndarray) -> jnp.ndarray:
+    """q(x_t | x_0) forward marginal: √ᾱ_t·x₀ + √(1−ᾱ_t)·ε, broadcast per-sample
+    (reference scheduling_ddpm.py:422-443)."""
+    acp = alphas_cumprod[timesteps].astype(original.dtype)
+    shape = (-1,) + (1,) * (original.ndim - 1)
+    sqrt_acp = jnp.sqrt(acp).reshape(shape)
+    sqrt_omacp = jnp.sqrt(1.0 - acp).reshape(shape)
+    return sqrt_acp * original + sqrt_omacp * noise
+
+
+def get_velocity_common(alphas_cumprod: jnp.ndarray, sample: jnp.ndarray, noise: jnp.ndarray, timesteps: jnp.ndarray) -> jnp.ndarray:
+    """v-prediction target: √ᾱ_t·ε − √(1−ᾱ_t)·x₀ (reference scheduling_ddpm.py:445-465)."""
+    acp = alphas_cumprod[timesteps].astype(sample.dtype)
+    shape = (-1,) + (1,) * (sample.ndim - 1)
+    sqrt_acp = jnp.sqrt(acp).reshape(shape)
+    sqrt_omacp = jnp.sqrt(1.0 - acp).reshape(shape)
+    return sqrt_acp * noise - sqrt_omacp * sample
+
+
+def pred_x0_from_model_output(
+    prediction_type: str,
+    sample: jnp.ndarray,
+    model_output: jnp.ndarray,
+    alpha_prod_t: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared ε-param inversion: returns (pred_original_sample, pred_epsilon)
+    for 'epsilon' | 'sample' | 'v_prediction' (reference scheduling_ddim.py:319-334)."""
+    beta_prod_t = 1.0 - alpha_prod_t
+    sqrt_a = alpha_prod_t**0.5
+    sqrt_b = beta_prod_t**0.5
+    if prediction_type == "epsilon":
+        x0 = (sample - sqrt_b * model_output) / sqrt_a
+        eps = model_output
+    elif prediction_type == "sample":
+        x0 = model_output
+        eps = (sample - sqrt_a * x0) / sqrt_b
+    elif prediction_type == "v_prediction":
+        x0 = sqrt_a * sample - sqrt_b * model_output
+        eps = sqrt_a * model_output + sqrt_b * sample
+    else:
+        raise ValueError(f"unknown prediction_type {prediction_type!r}")
+    return x0, eps
+
+
+# ---------------------------------------------------------------------------
+# Config (de)serialization — the ConfigMixin-equivalent for schedulers.
+# ---------------------------------------------------------------------------
+
+_SCHEDULER_REGISTRY: Dict[str, Type] = {}
+
+
+def register_scheduler(hf_class_name: str):
+    """Class decorator: register a scheduler under its HF ``_class_name`` so
+    HF-layout checkpoints round-trip (reference configuration_utils.py:142-)."""
+
+    def wrap(cls):
+        _SCHEDULER_REGISTRY[hf_class_name] = cls
+        cls.hf_class_name = hf_class_name
+        return cls
+
+    return wrap
+
+
+def scheduler_registry() -> Dict[str, Type]:
+    return dict(_SCHEDULER_REGISTRY)
+
+
+class ConfigurableScheduler:
+    """Base for all schedulers: frozen-dataclass config + json round trip.
+
+    Subclasses define a frozen ``Config`` dataclass and set ``config_class``.
+    The scheduler object itself is immutable and hashable → safe as a static
+    argument under ``jax.jit``.
+    """
+
+    config_class: Type = None
+    hf_class_name: str = None
+    order: int = 1
+
+    def __init__(self, config=None, **kwargs):
+        if config is None:
+            config = self.config_class(**kwargs)
+        elif kwargs:
+            config = dataclasses.replace(config, **kwargs)
+        self.config = config
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self.config == other.config
+
+    def __hash__(self):
+        return hash((type(self).__name__, self.config))
+
+    # -- HF-layout json round trip ------------------------------------------
+    def save_config(self, save_directory: str) -> None:
+        os.makedirs(save_directory, exist_ok=True)
+        payload = {"_class_name": self.hf_class_name, "_diffusers_version": "0.16.0.dev0"}
+        payload.update(dataclasses.asdict(self.config))
+        payload = {k: (list(v) if isinstance(v, tuple) else v) for k, v in payload.items()}
+        with open(os.path.join(save_directory, SCHEDULER_CONFIG_NAME), "w") as f:
+            json.dump(payload, f, indent=2, sort_keys=True)
+
+    save_pretrained = save_config
+
+    @classmethod
+    def from_config_dict(cls, payload: Dict[str, Any]) -> "ConfigurableScheduler":
+        fields = {f.name for f in dataclasses.fields(cls.config_class)}
+        kwargs = {k: v for k, v in payload.items() if k in fields}
+        return cls(cls.config_class(**kwargs))
+
+    @classmethod
+    def from_pretrained(cls, path: str, subfolder: Optional[str] = None) -> "ConfigurableScheduler":
+        if subfolder:
+            path = os.path.join(path, subfolder)
+        if os.path.isdir(path):
+            path = os.path.join(path, SCHEDULER_CONFIG_NAME)
+        with open(path) as f:
+            payload = json.load(f)
+        if cls is ConfigurableScheduler:
+            klass = _SCHEDULER_REGISTRY.get(payload.get("_class_name"))
+            if klass is None:
+                raise ValueError(f"unknown scheduler class {payload.get('_class_name')!r}")
+            return klass.from_config_dict(payload)
+        return cls.from_config_dict(payload)
+
+
+def load_scheduler(path: str, subfolder: Optional[str] = None) -> ConfigurableScheduler:
+    """Load any registered scheduler from an HF-layout ``scheduler_config.json``."""
+    return ConfigurableScheduler.from_pretrained(path, subfolder=subfolder)

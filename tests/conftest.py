@@ -1,0 +1,34 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Mirrors the reference's test-env discipline (tiered fast-CPU tests,
+`diffusers/src/diffusers/utils/testing_utils.py:122-190`): fast tests run on
+the CPU backend with 8 virtual devices so all sharding/collective code paths
+execute; `RUN_SLOW=1` unlocks big-model tests.
+"""
+
+import os
+
+# Must happen before jax import anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: needs RUN_SLOW=1 (big models / many steps)")
+    config.addinivalue_line("markers", "reference: needs /root/reference checkout for parity checks")
+
+
+def pytest_collection_modifyitems(config, items):
+    run_slow = os.environ.get("RUN_SLOW", "0") == "1"
+    has_reference = os.path.isdir("/root/reference")
+    skip_slow = pytest.mark.skip(reason="slow test: set RUN_SLOW=1 to run")
+    skip_ref = pytest.mark.skip(reason="reference checkout not available")
+    for item in items:
+        if "slow" in item.keywords and not run_slow:
+            item.add_marker(skip_slow)
+        if "reference" in item.keywords and not has_reference:
+            item.add_marker(skip_ref)
