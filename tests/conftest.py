@@ -14,7 +14,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# f32 parity oracles need true-f32 matmuls/convs; JAX's default matmul
+# precision downconverts (bf16 passes) even on CPU. The training path opts
+# into bf16 explicitly via dtype policy instead.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def pytest_configure(config):
