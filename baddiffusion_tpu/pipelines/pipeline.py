@@ -1,0 +1,215 @@
+"""DiffusionPipeline-equivalent: model+scheduler bundle with HF-layout I/O.
+
+Behavioral contract: reference `pipelines/pipeline_utils.py:475-780`
+(register_modules / save_pretrained writing ``model_index.json`` + per-module
+subfolders / from_pretrained) and the modified per-pipeline ``__call__``
+surface (init=, save_every_step=, start_from=; SURVEY.md §2.2). The batched
+drivers replace `model.py:469-529` (batch_sampling / batch_sampling_save).
+
+TPU-first: __call__ compiles one lax.scan program per (batch, steps) shape and
+reuses it across batches; images stream back to host once per batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from baddiffusion_tpu.io import load_unet, save_unet
+from baddiffusion_tpu.pipelines.sampler import sample_loop, sample_sde_ve, to_images
+from baddiffusion_tpu.schedulers import load_scheduler
+from baddiffusion_tpu.utils.image import batchify, save_images
+
+MODEL_INDEX_NAME = "model_index.json"
+
+
+@dataclasses.dataclass
+class PipelineOutput:
+    """Images in [0,1] NHWC; ``movie`` is the captured trajectory (the
+    reference's ImagePipelineOutput.movie, pipeline_utils.py:110-124)."""
+
+    images: np.ndarray
+    movie: Optional[np.ndarray] = None
+
+
+class DiffusionPipeline:
+    """An (unet, params, scheduler) bundle driving the scan sampler."""
+
+    def __init__(
+        self,
+        unet,
+        params,
+        scheduler,
+        clip_each_step: Optional[float] = None,
+        default_inference_steps: int = 1000,
+        hf_class_name: str = "DDPMPipeline",
+    ):
+        self.unet = unet
+        self.params = params
+        self.scheduler = scheduler
+        self.clip_each_step = clip_each_step
+        self.default_inference_steps = default_inference_steps
+        self.hf_class_name = hf_class_name
+        self._jit_cache = {}
+
+    # -- serialization (HF layout) ---------------------------------------------
+    def save_pretrained(self, save_directory: str) -> None:
+        os.makedirs(save_directory, exist_ok=True)
+        index = {
+            "_class_name": self.hf_class_name,
+            "_diffusers_version": "0.16.0.dev0",
+            "unet": ["diffusers", "UNet2DModel"],
+            "scheduler": ["diffusers", self.scheduler.hf_class_name],
+        }
+        with open(os.path.join(save_directory, MODEL_INDEX_NAME), "w") as f:
+            json.dump(index, f, indent=2, sort_keys=True)
+        save_unet(self.params, self.unet.config, os.path.join(save_directory, "unet"))
+        self.scheduler.save_config(os.path.join(save_directory, "scheduler"))
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=None) -> "DiffusionPipeline":
+        with open(os.path.join(path, MODEL_INDEX_NAME)) as f:
+            index = json.load(f)
+        unet, params = load_unet(path, subfolder="unet", dtype=dtype)
+        scheduler = load_scheduler(path, subfolder="scheduler")
+        return cls(unet, params, scheduler, hf_class_name=index.get("_class_name", "DDPMPipeline"))
+
+    # -- sampling ---------------------------------------------------------------
+    def _sample_fn(self, batch_size: int, num_inference_steps: int, start_from: int, capture_every):
+        cache_key = (batch_size, num_inference_steps, start_from, capture_every)
+        if cache_key in self._jit_cache:
+            return self._jit_cache[cache_key]
+
+        scheduler = self.scheduler
+        state = scheduler.set_timesteps(scheduler.create_state(), num_inference_steps)
+        apply_fn = lambda p, x, t: self.unet.apply({"params": p}, x, t)
+        is_sde_ve = scheduler.hf_class_name == "ScoreSdeVeScheduler"
+
+        @jax.jit
+        def run(params, init, key):
+            if is_sde_ve:
+                sample, movie = sample_sde_ve(
+                    scheduler, state, apply_fn, params, init, key, capture_every=capture_every
+                )
+                final = jnp.clip(sample, 0.0, 1.0)
+                movie_imgs = None if movie is None else jnp.clip(movie, 0.0, 1.0)
+            else:
+                sample, movie = sample_loop(
+                    scheduler,
+                    state,
+                    apply_fn,
+                    params,
+                    init,
+                    key,
+                    start_from=start_from,
+                    clip_each_step=self.clip_each_step,
+                    capture_every=capture_every,
+                )
+                final = to_images(sample)
+                movie_imgs = None if movie is None else to_images(movie)
+            return final, movie_imgs
+
+        self._jit_cache[cache_key] = run
+        return run
+
+    def sample_shape(self, batch_size: int) -> Tuple[int, int, int, int]:
+        cfg = self.unet.config
+        size = cfg.sample_size or 32
+        return (batch_size, size, size, cfg.in_channels)
+
+    def __call__(
+        self,
+        batch_size: int = 1,
+        key: Optional[jax.Array] = None,
+        init: Optional[jnp.ndarray] = None,
+        num_inference_steps: Optional[int] = None,
+        save_every_step: bool = False,
+        capture_every: Optional[int] = None,
+        start_from: int = 0,
+        output_type: Optional[str] = "np",
+    ) -> PipelineOutput:
+        """Reference pipeline __call__ surface (pipeline_ddpm.py:46-125):
+        ``init`` replaces the random initial latent; ``save_every_step``
+        captures the denoising trajectory (strided by ``capture_every``)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        n = num_inference_steps or self.default_inference_steps
+        if save_every_step and capture_every is None:
+            capture_every = max(1, n // 50)  # ~50 frames by default
+        if not save_every_step:
+            capture_every = None
+
+        if init is None:
+            key, sub = jax.random.split(key)
+            init = jax.random.normal(sub, self.sample_shape(batch_size), jnp.float32)
+        else:
+            init = jnp.asarray(init, jnp.float32)
+            batch_size = init.shape[0]
+
+        run = self._sample_fn(batch_size, n, start_from, capture_every)
+        images, movie = run(self.params, init, key)
+        images = np.asarray(images)
+        movie = None if movie is None else np.asarray(movie)
+        return PipelineOutput(images=images, movie=movie)
+
+
+def batch_sampling(
+    sample_n: int,
+    pipeline: DiffusionPipeline,
+    init: Optional[np.ndarray] = None,
+    max_batch_n: int = 256,
+    key: Optional[jax.Array] = None,
+    **kwargs,
+) -> np.ndarray:
+    """Split into ≤max_batch_n chunks and concatenate (reference model.py:469-489)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if init is None:
+        sizes = batchify(sample_n, max_batch_n)
+        chunks = [None] * len(sizes)
+    else:
+        sizes = batchify(init.shape[0], max_batch_n)
+        chunks, ofs = [], 0
+        for s in sizes:
+            chunks.append(init[ofs : ofs + s])
+            ofs += s
+    outs = []
+    for i, (s, chunk) in enumerate(zip(sizes, chunks)):
+        out = pipeline(batch_size=s, key=jax.random.fold_in(key, i), init=chunk, **kwargs)
+        outs.append(out.images)
+    return np.concatenate(outs)
+
+
+def batch_sampling_save(
+    sample_n: int,
+    pipeline: DiffusionPipeline,
+    path: str,
+    init: Optional[np.ndarray] = None,
+    max_batch_n: int = 256,
+    key: Optional[jax.Array] = None,
+    **kwargs,
+) -> None:
+    """Stream-save PNGs with a running index (reference model.py:504-529)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if init is None:
+        sizes = batchify(sample_n, max_batch_n)
+        chunks = [None] * len(sizes)
+    else:
+        sizes = batchify(init.shape[0], max_batch_n)
+        chunks, ofs = [], 0
+        for s in sizes:
+            chunks.append(init[ofs : ofs + s])
+            ofs += s
+    cnt = 0
+    for i, (s, chunk) in enumerate(zip(sizes, chunks)):
+        out = pipeline(batch_size=s, key=jax.random.fold_in(key, i), init=chunk, **kwargs)
+        save_images(out.images, path, start_cnt=cnt)
+        cnt += s

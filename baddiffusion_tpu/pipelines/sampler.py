@@ -1,0 +1,138 @@
+"""The sampling engine: reverse diffusion as a single jitted `lax.scan`.
+
+TPU-native replacement for the reference's Python pipeline loops
+(`pipelines/ddpm/pipeline_ddpm.py:46-125`, `pipelines/pndm/pipeline_pndm.py:55-122`,
+`pipelines/score_sde_ve/pipeline_score_sde_ve.py:47-113`) including the four
+BadDiffusion-added hooks (SURVEY.md §2.2):
+
+  (a) ``init``       — start the chain from a caller-supplied latent
+                       (how ``noise + trigger`` activates the backdoor)
+  (b) ``clip_each_step`` — clamp x_t to ±range after every step (the
+                       PNDMPipeline ``clip_sample`` wrapper behavior)
+  (c) ``capture_every`` — trajectory ("movie") capture via scan stacking,
+                       strided so HBM isn't blown at T=1000
+  (d) ``start_from`` — skip the first k timesteps
+
+The whole T-step chain compiles into ONE XLA program (UNet forward fused with
+the scheduler update), so per-step Python/dispatch overhead is zero.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_loop(
+    scheduler,
+    state,
+    apply_fn: Callable,
+    params,
+    init: jnp.ndarray,
+    key: jax.Array,
+    start_from: int = 0,
+    clip_each_step: Optional[float] = None,
+    capture_every: Optional[int] = None,
+    clip_defense: Optional[float] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Run the reverse chain from ``init``; returns (final_sample, movie).
+
+    ``state`` must already carry inference timesteps (scheduler.set_timesteps).
+    ``movie`` stacks every ``capture_every``-th intermediate (plus the final
+    state is the last frame), or None.
+    """
+    n = int(state.timesteps.shape[0])
+    n_steps = n - start_from
+    sample = init * jnp.asarray(scheduler.init_noise_sigma, init.dtype)
+
+    def step_once(sample, st, k, i):
+        t = st.timesteps[i]
+        k, sub = jax.random.split(k)
+        model_in = scheduler.scale_model_input(st, sample, i)
+        eps = apply_fn(params, model_in, jnp.broadcast_to(t, (sample.shape[0],)))
+        st, sample, _x0 = scheduler.step(st, eps, i, sample, sub)
+        if clip_each_step is not None:
+            sample = jnp.clip(sample, -clip_each_step, clip_each_step)
+        if clip_defense is not None:
+            sample = jnp.clip(sample, -clip_defense, clip_defense)
+        return sample, st, k
+
+    indices = jnp.arange(start_from, n)
+
+    if capture_every:
+        # strided trajectory capture with a bounded carried buffer: one frame
+        # per `capture_every` steps, so T=1000 costs n_frames·batch, not T·batch
+        n_frames = -(-n_steps // capture_every)
+        frames0 = jnp.zeros((n_frames,) + init.shape, init.dtype)
+
+        def body(carry, i):
+            sample, st, k, frames = carry
+            sample, st, k = step_once(sample, st, k, i)
+            slot = (i - start_from) // capture_every
+            frames = jax.lax.cond(
+                (i - start_from) % capture_every == 0,
+                lambda f: jax.lax.dynamic_update_index_in_dim(f, sample, slot, 0),
+                lambda f: f,
+                frames,
+            )
+            return (sample, st, k, frames), None
+
+        (sample, state, key, frames), _ = jax.lax.scan(body, (sample, state, key, frames0), indices)
+        return sample, frames
+
+    def body(carry, i):
+        sample, st, k = carry
+        return step_once(sample, st, k, i), None
+
+    (sample, state, key), _ = jax.lax.scan(body, (sample, state, key), indices)
+    return sample, None
+
+
+def sample_sde_ve(
+    scheduler,
+    state,
+    apply_fn: Callable,
+    params,
+    init: jnp.ndarray,
+    key: jax.Array,
+    capture_every: Optional[int] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Predictor-corrector loop for ScoreSdeVe (reference
+    pipeline_score_sde_ve.py:75-113): per timestep run ``correct_steps``
+    Langevin corrector steps then one predictor step."""
+    n = int(state.timesteps.shape[0])
+    correct_steps = scheduler.config.correct_steps
+    sample = init * state.sigmas[0]
+
+    def corrector(carry, _):
+        sample, st, k, i = carry
+        t = st.timesteps[i]
+        k, sub = jax.random.split(k)
+        score = apply_fn(params, sample, jnp.broadcast_to(t, (sample.shape[0],)))
+        sample = scheduler.step_correct(st, score, sample, sub)
+        return (sample, st, k, i), None
+
+    def body(carry, i):
+        sample, st, k = carry
+        (sample, st, k, _), _ = jax.lax.scan(corrector, (sample, st, k, i), None, length=correct_steps)
+        t = st.timesteps[i]
+        k, sub = jax.random.split(k)
+        score = apply_fn(params, sample, jnp.broadcast_to(t, (sample.shape[0],)))
+        st, sample, sample_mean = scheduler.step_pred(st, score, i, sample, sub)
+        frame = sample if capture_every else None
+        return (sample, st, k), (frame, sample_mean)
+
+    (sample, state, key), (frames, means) = jax.lax.scan(body, (sample, state, key), jnp.arange(n))
+    final = means[-1]  # the reference returns sample_mean of the last step
+    if capture_every:
+        return final, frames[:: capture_every]
+    return final, None
+
+
+def to_images(sample: jnp.ndarray) -> jnp.ndarray:
+    """[-1,1] model space → [0,1] image space (reference pipeline epilogue
+    ``(x/2+0.5).clamp(0,1)``, pipeline_ddpm.py:115)."""
+    return jnp.clip(sample / 2.0 + 0.5, 0.0, 1.0)

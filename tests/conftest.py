@@ -22,6 +22,10 @@ import pytest  # noqa: E402
 # into bf16 explicitly via dtype policy instead.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compile cache: UNet compiles dominate test wall-time otherwise
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: needs RUN_SLOW=1 (big models / many steps)")

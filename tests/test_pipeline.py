@@ -1,0 +1,109 @@
+"""Sampling engine + pipeline tests with a seeded tiny UNet.
+
+Mirrors the reference's fast pipeline tests
+(diffusers/tests/pipelines/ddpm/test_ddpm.py:28-89: tiny UNet, few steps,
+deterministic given seeds), plus the BadDiffusion hooks: init latent,
+trajectory capture, start_from, per-step clipping.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from baddiffusion_tpu.models import UNet2DConfig, UNet2DModel
+from baddiffusion_tpu.pipelines import DiffusionPipeline, batch_sampling, batch_sampling_save
+from baddiffusion_tpu.schedulers import DDIMConfig, DDIMScheduler, DDPMConfig, DDPMScheduler
+
+TINY = UNet2DConfig(
+    sample_size=8,
+    in_channels=3,
+    out_channels=3,
+    layers_per_block=1,
+    block_out_channels=(8, 16),
+    down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+    up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+    norm_num_groups=4,
+    attention_head_dim=4,
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    model = UNet2DModel(TINY)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sched = DDPMScheduler(DDPMConfig())
+    return DiffusionPipeline(model, params, sched, default_inference_steps=10)
+
+
+class TestPipeline:
+    def test_basic_sampling(self, pipe):
+        out = pipe(batch_size=2, key=jax.random.PRNGKey(0), num_inference_steps=5)
+        assert out.images.shape == (2, 8, 8, 3)
+        assert out.images.min() >= 0.0 and out.images.max() <= 1.0
+
+    def test_deterministic_given_key(self, pipe):
+        a = pipe(batch_size=2, key=jax.random.PRNGKey(7), num_inference_steps=5).images
+        b = pipe(batch_size=2, key=jax.random.PRNGKey(7), num_inference_steps=5).images
+        np.testing.assert_array_equal(a, b)
+        c = pipe(batch_size=2, key=jax.random.PRNGKey(8), num_inference_steps=5).images
+        assert np.abs(a - c).max() > 0
+
+    def test_init_latent_controls_output(self, pipe):
+        # the backdoor activation path: caller-supplied initial latent
+        init1 = np.zeros((2, 8, 8, 3), np.float32)
+        init2 = np.ones((2, 8, 8, 3), np.float32)
+        k = jax.random.PRNGKey(0)
+        a = pipe(init=init1, key=k, num_inference_steps=5).images
+        b = pipe(init=init2, key=k, num_inference_steps=5).images
+        assert np.abs(a - b).max() > 1e-4
+
+    def test_movie_capture(self, pipe):
+        out = pipe(batch_size=1, key=jax.random.PRNGKey(0), num_inference_steps=10,
+                   save_every_step=True, capture_every=2)
+        assert out.movie is not None
+        assert out.movie.shape == (5, 1, 8, 8, 3)
+        assert out.movie.min() >= 0.0 and out.movie.max() <= 1.0
+        # final frame of movie == final image
+        np.testing.assert_allclose(out.movie[-1], out.images, atol=0.5)
+
+    def test_start_from(self, pipe):
+        out = pipe(batch_size=1, key=jax.random.PRNGKey(0), num_inference_steps=10, start_from=5)
+        assert out.images.shape == (1, 8, 8, 3)
+
+    def test_clip_each_step(self, pipe):
+        clipped = DiffusionPipeline(pipe.unet, pipe.params, pipe.scheduler, clip_each_step=0.1)
+        out = clipped(batch_size=1, key=jax.random.PRNGKey(0), num_inference_steps=5)
+        # x in [-0.1, 0.1] -> images in [0.45, 0.55]
+        assert out.images.min() >= 0.45 - 1e-5 and out.images.max() <= 0.55 + 1e-5
+
+    def test_ddim_pipeline(self, pipe):
+        ddim = DiffusionPipeline(
+            pipe.unet, pipe.params, DDIMScheduler(DDIMConfig()), default_inference_steps=10
+        )
+        out = ddim(batch_size=2, key=jax.random.PRNGKey(0))
+        assert out.images.shape == (2, 8, 8, 3)
+        assert np.isfinite(out.images).all()
+
+    def test_batch_sampling_split(self, pipe):
+        imgs = batch_sampling(5, pipe, max_batch_n=2, num_inference_steps=3)
+        assert imgs.shape == (5, 8, 8, 3)
+
+    def test_batch_sampling_save(self, pipe, tmp_path):
+        import os
+
+        init = np.random.RandomState(0).randn(3, 8, 8, 3).astype(np.float32)
+        batch_sampling_save(3, pipe, str(tmp_path), init=init, max_batch_n=2, num_inference_steps=3)
+        files = sorted(os.listdir(tmp_path))
+        assert files == ["0.png", "1.png", "2.png"]
+
+    def test_save_load_roundtrip(self, pipe, tmp_path):
+        pipe.save_pretrained(str(tmp_path))
+        import os
+
+        assert set(os.listdir(tmp_path)) >= {"model_index.json", "unet", "scheduler"}
+        loaded = DiffusionPipeline.from_pretrained(str(tmp_path))
+        k = jax.random.PRNGKey(3)
+        a = pipe(batch_size=1, key=k, num_inference_steps=3).images
+        b = loaded(batch_size=1, key=k, num_inference_steps=3).images
+        np.testing.assert_allclose(a, b, atol=1e-5)
