@@ -1,0 +1,279 @@
+"""Poisoned dataset builder + host batch pipeline.
+
+Capability parity with the reference `DatasetLoader` (`dataset.py:28-377`):
+MNIST/CIFAR10/CELEBA/CELEBA-HQ with channel/size defaults (1×32 / 3×32 / 3×64 /
+3×256, dataset.py:94-118), [-1,1] normalization, FIXED mode (poison_rate slice
+of a seeded shuffle, dataset.py:162-201) and FLEX mode (independent clean /
+poison fractions, dataset.py:225-244), per-record clean-vs-backdoor transform
+(dataset.py:278-319), horizontal-flip augmentation (always on, matching the
+reference's quirk #3), and label filtering.
+
+TPU-native split of labor: this module only decodes/shuffles/flips uint8 on
+the host and ships ``{image_u8, is_clean, label}``; normalization + trigger
+compositing happen on device (`data/poison.py`). Also provides ``FAKE`` — a
+deterministic procedural dataset so everything runs with zero network egress.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+
+from baddiffusion_tpu.data.triggers import DEFAULT_VMAX, DEFAULT_VMIN, Backdoor, trigger_mask
+from baddiffusion_tpu.utils.logging import Log
+
+DEFAULT_CHANNELS = {"MNIST": 1, "CIFAR10": 3, "CELEBA": 3, "CELEBA-HQ": 3, "LSUN-CHURCH": 3, "LSUN-BEDROOM": 3, "FAKE": 3}
+DEFAULT_SIZES = {"MNIST": 32, "CIFAR10": 32, "CELEBA": 64, "CELEBA-HQ": 256, "LSUN-CHURCH": 256, "LSUN-BEDROOM": 256, "FAKE": 32}
+HF_NAMES = {"MNIST": "mnist", "CIFAR10": "cifar10", "CELEBA": "student/celebA", "CELEBA-HQ": "huggan/CelebA-HQ"}
+
+
+def _fake_images(n: int, size: int, channel: int, seed: int = 1234) -> np.ndarray:
+    """Deterministic procedural images: smooth color gradients + a bright
+    blob, enough structure for the loss/metrics to be meaningful offline."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / max(size - 1, 1)
+    imgs = np.zeros((n, size, size, channel), np.float32)
+    for i in range(n):
+        freq = rng.uniform(0.5, 3.0, size=(channel,))
+        phase = rng.uniform(0, 2 * np.pi, size=(channel, 2))
+        cx, cy, r = rng.uniform(0.2, 0.8), rng.uniform(0.2, 0.8), rng.uniform(0.1, 0.3)
+        blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * r**2)))
+        for c in range(channel):
+            wave = 0.5 + 0.25 * np.sin(2 * np.pi * freq[c] * xx + phase[c, 0]) * np.cos(
+                2 * np.pi * freq[c] * yy + phase[c, 1]
+            )
+            imgs[i, :, :, c] = np.clip(wave + 0.4 * blob, 0, 1)
+    return (imgs * 255).round().astype(np.uint8)
+
+
+def _decode_hf_dataset(name: str, size: int, channel: int) -> Dict[str, np.ndarray]:
+    """Load an HF dataset (train+test merged, dataset.py:79-92) and eagerly
+    decode to uint8 NHWC. Raises offline if the dataset isn't cached."""
+    os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    from datasets import concatenate_datasets, load_dataset
+    from PIL import Image
+
+    hf_name = HF_NAMES[name]
+    if name in ("CELEBA", "CELEBA-HQ"):
+        ds = load_dataset(hf_name, split="train")
+    else:
+        ds = concatenate_datasets([load_dataset(hf_name, split="train"), load_dataset(hf_name, split="test")])
+    img_key = "img" if "img" in ds.column_names else "image"
+    images, labels = [], []
+    for rec in ds:
+        img = rec[img_key]
+        img = img.convert("L") if channel == 1 else img.convert("RGB")
+        if img.size != (size, size):
+            img = img.resize((size, size), Image.BILINEAR)
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        images.append(arr)
+        labels.append(rec.get("label", -1))
+    return {"images": np.stack(images), "labels": np.asarray(labels, np.float32)}
+
+
+def _decode_image_dir(path: str, size: int, channel: int) -> Dict[str, np.ndarray]:
+    from PIL import Image
+
+    from baddiffusion_tpu.utils.image import list_image_files
+
+    images = []
+    for f in list_image_files(path):
+        img = Image.open(f)
+        img = img.convert("L") if channel == 1 else img.convert("RGB")
+        if img.size != (size, size):
+            img = img.resize((size, size), Image.BILINEAR)
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        images.append(arr)
+    return {"images": np.stack(images), "labels": np.full((len(images),), -1, np.float32)}
+
+
+class DatasetLoader:
+    MODE_FIXED = "FIXED"
+    MODE_FLEX = "FLEX"
+
+    MNIST = "MNIST"
+    CIFAR10 = "CIFAR10"
+    CELEBA = "CELEBA"
+    CELEBA_HQ = "CELEBA-HQ"
+    LSUN_CHURCH = "LSUN-CHURCH"
+    LSUN_BEDROOM = "LSUN-BEDROOM"
+    FAKE = "FAKE"
+
+    # batch schema keys (reference dataset.py:43-47)
+    PIXEL_VALUES = "pixel_values"
+    TARGET = "target"
+    IS_CLEAN = "is_clean"
+    IMAGE = "image"
+    LABEL = "label"
+
+    def __init__(
+        self,
+        name: str,
+        label: Optional[Union[int, Sequence[int]]] = None,
+        root: Optional[str] = None,
+        channel: Optional[int] = None,
+        image_size: Optional[int] = None,
+        vmin: float = DEFAULT_VMIN,
+        vmax: float = DEFAULT_VMAX,
+        batch_size: int = 512,
+        shuffle: bool = True,
+        seed: int = 0,
+        fake_size: int = 512,
+        hflip: bool = True,
+        drop_last: bool = True,
+    ):
+        self.name = name
+        self.root = root
+        self.vmin, self.vmax = vmin, vmax
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.hflip = hflip
+        self.drop_last = drop_last
+        self.label_filter = None if label is None else ([label] if isinstance(label, int) else list(label))
+
+        key = name if name in DEFAULT_CHANNELS else "FAKE"
+        self.channel = channel or DEFAULT_CHANNELS.get(key, 3)
+        self.image_size = image_size or DEFAULT_SIZES.get(key, 32)
+
+        if name == self.FAKE:
+            data = _fake_images(fake_size, self.image_size, self.channel)
+            self._images, self._labels = data, np.full((len(data),), -1, np.float32)
+        elif name in HF_NAMES:
+            data = _decode_hf_dataset(name, self.image_size, self.channel)
+            self._images, self._labels = data["images"], data["labels"]
+        elif os.path.isdir(name):
+            data = _decode_image_dir(name, self.image_size, self.channel)
+            self._images, self._labels = data["images"], data["labels"]
+        else:
+            raise NotImplementedError(f"Undefined dataset: {name}")
+
+        if self.label_filter is not None:
+            keep = np.isin(self._labels, self.label_filter)
+            self._images, self._labels = self._images[keep], self._labels[keep]
+
+        self.trigger = self.target = self.mask = None
+        self.clean_rate, self.poison_rate = 1.0, None
+        self._is_clean: Optional[np.ndarray] = None
+        self.backdoor = Backdoor(root=root or ".")
+
+    # -- poisoning --------------------------------------------------------------
+    def set_poison(
+        self,
+        trigger_type: str,
+        target_type: str,
+        target_dx: int = -5,
+        target_dy: int = -3,
+        clean_rate: float = 1.0,
+        poison_rate: float = 0.2,
+    ) -> "DatasetLoader":
+        self.clean_rate, self.poison_rate = clean_rate, poison_rate
+        self.trigger = self.backdoor.get_trigger(
+            trigger_type, channel=self.channel, image_size=self.image_size, vmin=self.vmin, vmax=self.vmax
+        )
+        self.target = self.backdoor.get_target(
+            target_type, trigger=self.trigger, dx=target_dx, dy=target_dy, vmin=self.vmin, vmax=self.vmax
+        )
+        self.mask = trigger_mask(self.trigger, self.vmin)
+        return self
+
+    def prepare_dataset(self, mode: str = MODE_FIXED) -> "DatasetLoader":
+        """Assign the per-record clean/poison tags (the reference's concat of
+        tagged splits, dataset.py:162-244) via one seeded permutation."""
+        n = len(self._images)
+        rng = np.random.RandomState(self.seed)
+        perm = rng.permutation(n)
+        if mode == self.MODE_FIXED:
+            if self.poison_rate is None:
+                raise ValueError("call set_poison before prepare_dataset")
+            if not 0.0 <= float(self.poison_rate) <= 1.0:
+                raise ValueError("In FIXED mode, poison rate should be within [0, 1]")
+            if self.clean_rate != 1.0:
+                Log.warning("In 'FIXED' mode of DatasetLoader, the clean_rate is ignored.")
+            backdoor_n = int(n * float(self.poison_rate))
+            is_clean = np.ones(n, bool)
+            is_clean[perm[:backdoor_n]] = False
+        elif mode == self.MODE_FLEX:
+            clean_n = int(n * float(self.clean_rate))
+            poison_n = int(n * float(self.poison_rate))
+            if clean_n + poison_n > n:
+                raise ValueError("FLEX mode needs clean_rate + poison_rate <= 1")
+            keep = perm[: clean_n + poison_n]
+            is_clean_kept = np.concatenate([np.ones(clean_n, bool), np.zeros(poison_n, bool)])
+            self._images = self._images[keep]
+            self._labels = self._labels[keep]
+            is_clean = is_clean_kept
+        else:
+            raise NotImplementedError(f"Argument mode: {mode} isn't defined")
+        self._is_clean = is_clean
+        return self
+
+    # -- access -------------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self._images)
+
+    @property
+    def num_batch(self) -> int:
+        n = len(self)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def get_raw(self, idx) -> Dict[str, np.ndarray]:
+        return {
+            "image_u8": self._images[idx],
+            "is_clean": self._is_clean[idx],
+            "label": self._labels[idx],
+        }
+
+    def get_sample(self, idx: int) -> Dict[str, np.ndarray]:
+        """One materialized record with the reference schema (for
+        visualization/debug; the train path stays uint8 until the device)."""
+        from baddiffusion_tpu.data.poison import poison_batch_host
+
+        rec = poison_batch_host(
+            self._images[idx : idx + 1],
+            self._is_clean[idx : idx + 1],
+            self.trigger,
+            self.target,
+            self.mask,
+            self.vmin,
+            self.vmax,
+        )
+        rec["label"] = self._labels[idx : idx + 1]
+        return {k: v[0] for k, v in rec.items()}
+
+    def epoch_batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Deterministic per-epoch batch stream: seeded shuffle + per-sample
+        hflip, uint8 payloads only."""
+        if self._is_clean is None:
+            raise RuntimeError("call prepare_dataset() first")
+        n = len(self)
+        rng = np.random.RandomState((self.seed * 1_000_003 + epoch) % (2**31))
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+        bs = self.batch_size
+        stop = n - (n % bs) if self.drop_last else n
+        for start in range(0, stop, bs):
+            idx = order[start : start + bs]
+            imgs = self._images[idx]
+            if self.hflip:
+                flips = rng.rand(len(idx)) < 0.5
+                imgs = imgs.copy()
+                imgs[flips] = imgs[flips, :, ::-1]
+            yield {
+                "image_u8": imgs,
+                "is_clean": self._is_clean[idx],
+                "label": self._labels[idx],
+            }
+
+    def get_dataloader(self, epochs: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
+        """Infinite (or epochs-bounded) stream of batches."""
+        e = 0
+        while epochs is None or e < epochs:
+            yield from self.epoch_batches(e)
+            e += 1

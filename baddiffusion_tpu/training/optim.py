@@ -1,0 +1,54 @@
+"""Optimizer + LR schedule factory.
+
+Behavioral contract: reference training setup (baddiffusion.py:320-331) —
+Adam (no weight decay), grad-clip 1.0, cosine schedule with linear warmup
+matching `diffusers/optimization.py:109-141` exactly:
+
+  step < warmup:  lr · step/warmup
+  else:           lr · max(0, 0.5·(1 + cos(π · num_cycles · 2 · progress)))
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import optax
+
+
+def cosine_schedule_with_warmup(
+    base_lr: float,
+    num_warmup_steps: int,
+    num_training_steps: int,
+    num_cycles: float = 0.5,
+) -> optax.Schedule:
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warmup = step / jnp.maximum(1.0, num_warmup_steps)
+        progress = (step - num_warmup_steps) / jnp.maximum(1.0, num_training_steps - num_warmup_steps)
+        cosine = jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * num_cycles * 2.0 * progress)))
+        return base_lr * jnp.where(step < num_warmup_steps, warmup, cosine)
+
+    return schedule
+
+
+def make_optimizer(
+    lr: float,
+    num_warmup_steps: int = 500,
+    num_training_steps: int = 100_000,
+    grad_clip: Optional[float] = 1.0,
+    schedule: str = "cosine",
+) -> optax.GradientTransformation:
+    if schedule == "cosine":
+        lr_schedule = cosine_schedule_with_warmup(lr, num_warmup_steps, num_training_steps)
+    elif schedule == "constant":
+        lr_schedule = lambda step: lr
+    else:
+        raise NotImplementedError(f"schedule {schedule!r}")
+    parts = []
+    if grad_clip is not None:
+        parts.append(optax.clip_by_global_norm(grad_clip))
+    # torch.optim.Adam defaults (baddiffusion.py:320): b1=0.9 b2=0.999 eps=1e-8
+    parts.append(optax.adam(learning_rate=lr_schedule, b1=0.9, b2=0.999, eps=1e-8))
+    return optax.chain(*parts), lr_schedule

@@ -1,0 +1,147 @@
+"""Training orchestration: the crash-tolerant epoch loop + periodic sampling.
+
+Behavioral contract: reference `train_loop` (baddiffusion.py:572-645): per-step
+metric logging, sample grids every ``save_image_epochs``, checkpoints every
+``save_model_epochs`` and at the end, the whole loop wrapped so ANY exception
+still checkpoints before re-raising (baddiffusion.py:635-645). The qualitative
+sampling (baddiffusion.py:366-419) draws a fixed-seed 16-image batch once from
+pure noise → ``samples/`` and once from ``noise + trigger`` →
+``backdoor_samples/`` with 4×4 grid + t0-frame grid from the movie.
+"""
+
+from __future__ import annotations
+
+import os
+import traceback
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from baddiffusion_tpu.data.prefetch import device_prefetch
+from baddiffusion_tpu.utils.image import save_image_grid
+from baddiffusion_tpu.utils.logging import Log
+
+
+def sample_grids(
+    pipeline,
+    trigger: Optional[np.ndarray],
+    out_dir: str,
+    epoch_tag,
+    sample_n: int = 16,
+    num_inference_steps: int = 1000,
+    seed: int = 0,
+    with_movie: bool = True,
+) -> None:
+    """Fixed-seed qualitative sampling (reference sampling(), baddiffusion.py:366-419).
+
+    The backdoor init is the UNMASKED sum ``noise + trigger`` — the quirk the
+    reference uses at sampling time (baddiffusion.py:417; SURVEY.md §8.8).
+    """
+    key = jax.random.PRNGKey(seed)
+    shape = pipeline.sample_shape(sample_n)
+    noise = np.asarray(jax.random.normal(key, shape, dtype=np.float32))
+
+    jobs = [("samples", noise)]
+    if trigger is not None:
+        jobs.append(("backdoor_samples", noise + trigger[None]))
+
+    for sub, init in jobs:
+        out = pipeline(
+            init=init,
+            key=key,
+            num_inference_steps=num_inference_steps,
+            save_every_step=with_movie,
+        )
+        d = os.path.join(out_dir, sub)
+        os.makedirs(d, exist_ok=True)
+        save_image_grid(out.images, os.path.join(d, f"ep{epoch_tag}.png"), rows=4, cols=4)
+        if out.movie is not None:
+            save_image_grid(out.movie[0], os.path.join(d, f"ep{epoch_tag}_t0.png"), rows=4, cols=4)
+
+
+def train_loop(
+    *,
+    dsl,
+    train_step: Callable,
+    state,
+    lr_schedule: Callable,
+    epochs: int,
+    tracker,
+    out_dir: str,
+    make_pipeline: Callable[[object], object],
+    seed: int = 0,
+    start_epoch: int = 0,
+    start_step: int = 0,
+    save_image_epochs: int = 20,
+    save_model_epochs: int = 5,
+    sample_n: int = 16,
+    sampling_steps: int = 1000,
+    save_all_model_epochs: bool = False,
+    mesh=None,
+    log_every: int = 20,
+    on_epoch_end: Optional[Callable] = None,
+):
+    """Returns the final TrainState. Crash-tolerant: always checkpoints."""
+    from baddiffusion_tpu.parallel.mesh import batch_sharding
+    from baddiffusion_tpu.training.checkpoint import ep_model_path, save_trainer_state
+
+    base_key = jax.random.PRNGKey(seed)
+    global_step = start_step
+
+    def checkpoint(epoch: int) -> None:
+        save_trainer_state(out_dir, jax.device_get(state), epoch)
+        pipe = make_pipeline(state)
+        pipe.save_pretrained(out_dir)
+        if save_all_model_epochs:
+            pipe.save_pretrained(ep_model_path(out_dir, epoch))
+
+    cur_epoch = start_epoch
+    try:
+        for epoch in range(start_epoch, epochs):
+            cur_epoch = epoch
+            shardings = None
+            if mesh is not None:
+                shardings = lambda k, v: batch_sharding(mesh, np.ndim(v) or 1)
+            stream = device_prefetch(dsl.epoch_batches(epoch), size=2, sharding=shardings)
+            for batch in stream:
+                key = jax.random.fold_in(base_key, global_step)
+                state, metrics = train_step(state, batch["image_u8"], batch["is_clean"], key)
+                if global_step % log_every == 0:
+                    logs = {
+                        "loss": float(jax.device_get(metrics["loss"])),
+                        "lr": float(lr_schedule(global_step)),
+                        "epoch": epoch,
+                        "step": global_step,
+                    }
+                    tracker.log(logs, step=global_step)
+                global_step += 1
+
+            if epoch % save_image_epochs == 0 or epoch == epochs - 1:
+                try:
+                    sample_grids(
+                        make_pipeline(state),
+                        dsl.trigger,
+                        out_dir,
+                        epoch,
+                        sample_n=sample_n,
+                        num_inference_steps=sampling_steps,
+                        seed=seed,
+                    )
+                except Exception:
+                    Log.error("sampling failed:\n" + traceback.format_exc())
+            if epoch % save_model_epochs == 0 or epoch == epochs - 1:
+                checkpoint(epoch)
+    except KeyboardInterrupt:
+        Log.warning("interrupted — checkpointing before exit")
+        raise
+    except Exception:
+        Log.error("training crashed:\n" + traceback.format_exc())
+        raise
+    finally:
+        # the reference's finally-block save (baddiffusion.py:635-645)
+        try:
+            checkpoint(cur_epoch)
+        except Exception:
+            Log.error("final checkpoint failed:\n" + traceback.format_exc())
+    return state, global_step

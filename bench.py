@@ -1,0 +1,88 @@
+"""Headline benchmark: CIFAR10-32 backdoor-training samples/sec on TPU.
+
+The reference publishes no in-tree numbers (BASELINE.md); its canonical recipe
+is DDPM-CIFAR10-32 fine-tuning at global batch 128, fp16, on one GPU
+(README.md:73). BASELINE.json's north star is ≥2× A100 training samples/sec.
+
+This benchmark runs the same workload TPU-native: the reference's scratch UNet
+architecture (113.7M params, model.py:657-679) with the fused backdoor loss at
+global batch 128 in bf16, poison compositing on device, one XLA program per
+step. ``vs_baseline`` is measured samples/sec over an A100 estimate for the
+identical torch/fp16 workload (~550 samples/s for UNet2DModel 128-512 @32px,
+batch 128, from public DDPM training throughput reports — no in-tree number
+exists to pin this more precisely).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_TRAIN_SAMPLES_PER_SEC_EST = 550.0
+
+BATCH = 128
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main():
+    import dataclasses
+
+    from baddiffusion_tpu.data import DatasetLoader
+    from baddiffusion_tpu.models import DEFAULT_SCRATCH_CONFIG, UNet2DModel
+    from baddiffusion_tpu.schedulers import DDPMConfig, DDPMScheduler
+    from baddiffusion_tpu.training import create_train_state, make_optimizer, make_train_step
+
+    cfg = dataclasses.replace(DEFAULT_SCRATCH_CONFIG, sample_size=32)
+    model = UNet2DModel(cfg, dtype=jnp.bfloat16)
+    params = jax.jit(lambda k: model.init_params(k))(jax.random.PRNGKey(0))
+
+    sched = DDPMScheduler(DDPMConfig())
+    sstate = sched.create_state()
+    optimizer, _ = make_optimizer(2e-4, num_warmup_steps=500, num_training_steps=10_000)
+
+    dsl = DatasetLoader(DatasetLoader.FAKE, image_size=32, batch_size=BATCH, fake_size=BATCH * 2)
+    dsl.set_poison("BOX_14", "CORNER", poison_rate=0.1).prepare_dataset()
+
+    state = create_train_state(params, optimizer, dsl.trigger, dsl.target, dsl.mask)
+    step = make_train_step(
+        model,
+        optimizer,
+        sched.config.num_train_timesteps,
+        sstate.schedule.alphas,
+        sstate.schedule.alphas_cumprod,
+        use_remat=False,
+    )
+    batch = next(dsl.epoch_batches(0))
+    img = jax.device_put(batch["image_u8"])
+    clean = jax.device_put(batch["is_clean"])
+
+    for i in range(WARMUP_STEPS):
+        state, metrics = step(state, img, clean, jax.random.PRNGKey(i))
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        state, metrics = step(state, img, clean, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = BATCH * MEASURE_STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "cifar10_32_backdoor_train_samples_per_sec",
+                "value": round(samples_per_sec, 1),
+                "unit": "samples/sec",
+                "vs_baseline": round(samples_per_sec / A100_TRAIN_SAMPLES_PER_SEC_EST, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

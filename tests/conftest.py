@@ -8,14 +8,20 @@ execute; `RUN_SLOW=1` unlocks big-model tests.
 
 import os
 
-# Must happen before jax import anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before jax import anywhere. Force (not setdefault): the outer
+# environment pins JAX_PLATFORMS to the TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# a pytest plugin imports jax before this conftest runs, so JAX_PLATFORMS from
+# os.environ is already baked into jax.config — override it directly (the
+# backend itself initializes lazily, so this still takes effect)
+jax.config.update("jax_platforms", "cpu")
 
 # f32 parity oracles need true-f32 matmuls/convs; JAX's default matmul
 # precision downconverts (bf16 passes) even on CPU. The training path opts

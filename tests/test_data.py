@@ -1,0 +1,198 @@
+"""Data layer: trigger/target geometry (incl. parity vs the reference
+factory), poison split semantics, batch schema, device compositing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from baddiffusion_tpu.data import Backdoor, DatasetLoader, poison_batch, poison_batch_host, trigger_mask
+
+
+class TestTriggers:
+    def test_box_14_geometry(self):
+        bd = Backdoor()
+        trig = bd.get_trigger(Backdoor.TRIGGER_BOX_14, channel=3, image_size=32)
+        assert trig.shape == (32, 32, 3)
+        # bottom-right anchored with 2px gap: rows/cols 16..29 inclusive
+        assert np.all(trig[16:30, 16:30] == 0.0)  # grey of [-1,1]
+        assert np.all(trig[:16, :] == -1.0)
+        assert np.all(trig[:, :16] == -1.0)
+        assert np.all(trig[30:, :] == -1.0)
+
+    def test_white_box(self):
+        bd = Backdoor()
+        trig = bd.get_trigger(Backdoor.TRIGGER_SM_BOX, channel=1, image_size=32)
+        assert np.all(trig[16:30, 16:30] == 1.0)
+
+    def test_none_trigger(self):
+        bd = Backdoor()
+        trig = bd.get_trigger(Backdoor.TRIGGER_NONE, channel=3, image_size=32)
+        assert np.all(trig == -1.0)
+
+    def test_image_triggers_and_targets(self):
+        bd = Backdoor()
+        for tt in (Backdoor.TRIGGER_STOP_SIGN_14, Backdoor.TRIGGER_GLASSES):
+            trig = bd.get_trigger(tt, channel=3, image_size=32)
+            assert trig.shape == (32, 32, 3)
+            assert trig.min() >= -1.0 and trig.max() <= 1.0
+            assert (trig > -1.0).any()
+        trig = bd.get_trigger(Backdoor.TRIGGER_BOX_14, channel=3, image_size=32)
+        for tgt_type in (Backdoor.TARGET_TG, Backdoor.TARGET_SHIFT, Backdoor.TARGET_CORNER,
+                         Backdoor.TARGET_HAT, Backdoor.TARGET_CAT):
+            tgt = bd.get_target(tgt_type, trigger=trig)
+            assert tgt.shape == (32, 32, 3)
+            # bg2grey: nothing below the 30% grey threshold
+            assert tgt.min() >= (1 - -1) * 0.3 + -1 - 1e-6
+
+    def test_corner_target_geometry(self):
+        bd = Backdoor()
+        trig = bd.get_trigger(Backdoor.TRIGGER_BOX_14, channel=1, image_size=32)
+        tgt = bd.get_target(Backdoor.TARGET_CORNER, trigger=trig)
+        thres = -0.4  # grey floor
+        assert np.all(tgt[:10, :10] == 0.0)
+        assert np.all(tgt[10:, 10:] == pytest.approx(thres))
+
+    def test_mask(self):
+        bd = Backdoor()
+        trig = bd.get_trigger(Backdoor.TRIGGER_BOX_14, channel=3, image_size=32)
+        mask = trigger_mask(trig)
+        assert np.all(mask[16:30, 16:30] == 0.0)
+        assert np.all(mask[:16, :] == 1.0)
+
+
+@pytest.mark.reference
+class TestTriggerParityVsReference:
+    def _reference_backdoor(self):
+        import sys
+
+        from tests.torchvision_shim import install
+
+        install()
+        sys.path.insert(0, "/root/reference")
+        cwd = os.getcwd()
+        os.chdir("/root/reference")  # its asset paths are cwd-relative
+        from dataset import Backdoor as RefBackdoor
+
+        return RefBackdoor(root="/tmp/ref_ds"), cwd
+
+    @pytest.mark.parametrize(
+        "trig_type",
+        ["BOX_18", "BOX_14", "BOX_11", "BOX_8", "BOX_4", "BIG_BOX", "SM_BOX", "NONE", "GLASSES",
+         "STOP_SIGN_14"],
+    )
+    def test_trigger_parity(self, trig_type):
+        ref, cwd = self._reference_backdoor()
+        try:
+            ref_trig = ref.get_trigger(type=trig_type, channel=3, image_size=32).numpy().transpose(1, 2, 0)
+        finally:
+            os.chdir(cwd)
+        ours = Backdoor().get_trigger(trig_type, channel=3, image_size=32)
+        # image-based triggers may differ by ≤1px of resampling; boxes are exact
+        tol = 0.35 if trig_type in ("GLASSES", "STOP_SIGN_14") else 1e-6
+        mismatch = np.abs(ours - ref_trig) > 1e-3
+        if trig_type in ("GLASSES", "STOP_SIGN_14"):
+            assert mismatch.mean() < 0.1, f"{trig_type}: {mismatch.mean():.3f} pixels differ"
+        else:
+            np.testing.assert_allclose(ours, ref_trig, atol=tol)
+
+    @pytest.mark.parametrize("tgt_type", ["TRIGGER", "SHIFT", "CORNER", "HAT", "CAT"])
+    def test_target_parity(self, tgt_type):
+        ref, cwd = self._reference_backdoor()
+        try:
+            ref_trig = ref.get_trigger(type="BOX_14", channel=3, image_size=32)
+            ref_tgt = ref.get_target(type=tgt_type, trigger=ref_trig).numpy().transpose(1, 2, 0)
+        finally:
+            os.chdir(cwd)
+        bd = Backdoor()
+        ours = bd.get_target(tgt_type, trigger=bd.get_trigger("BOX_14", channel=3, image_size=32))
+        if tgt_type in ("HAT", "CAT"):
+            mismatch = np.abs(ours - ref_tgt) > 0.05
+            assert mismatch.mean() < 0.05, f"{tgt_type}: {mismatch.mean():.3f} pixels differ"
+        else:
+            np.testing.assert_allclose(ours, ref_tgt, atol=1e-6)
+
+
+class TestDatasetLoader:
+    def make(self, **kw):
+        kw.setdefault("batch_size", 16)
+        kw.setdefault("fake_size", 64)
+        dsl = DatasetLoader(DatasetLoader.FAKE, **kw)
+        return dsl.set_poison("BOX_14", "CORNER", clean_rate=1.0, poison_rate=0.25).prepare_dataset()
+
+    def test_fixed_split_proportions(self):
+        dsl = self.make()
+        assert len(dsl) == 64
+        assert (~dsl._is_clean).sum() == 16  # 25% poisoned
+
+    def test_batch_schema_and_shapes(self):
+        dsl = self.make()
+        batch = next(dsl.epoch_batches(0))
+        assert batch["image_u8"].shape == (16, 32, 32, 3)
+        assert batch["image_u8"].dtype == np.uint8
+        assert batch["is_clean"].dtype == np.bool_
+        assert batch["label"].shape == (16,)
+
+    def test_epoch_determinism(self):
+        dsl = self.make()
+        a = next(dsl.epoch_batches(3))
+        b = next(dsl.epoch_batches(3))
+        np.testing.assert_array_equal(a["image_u8"], b["image_u8"])
+        c = next(dsl.epoch_batches(4))
+        assert np.abs(a["image_u8"].astype(int) - c["image_u8"].astype(int)).max() > 0
+
+    def test_poison_batch_device_matches_host(self):
+        import jax.numpy as jnp
+
+        dsl = self.make()
+        batch = next(dsl.epoch_batches(0))
+        host = poison_batch_host(
+            batch["image_u8"], batch["is_clean"], dsl.trigger, dsl.target, dsl.mask
+        )
+        img, R, tgt = poison_batch(
+            jnp.asarray(batch["image_u8"]), jnp.asarray(batch["is_clean"]),
+            jnp.asarray(dsl.trigger), jnp.asarray(dsl.target), jnp.asarray(dsl.mask),
+        )
+        np.testing.assert_allclose(np.asarray(img), host["image"], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(R), host["pixel_values"], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(tgt), host["target"], atol=1e-6)
+
+    def test_record_semantics(self):
+        dsl = self.make()
+        clean_idx = int(np.nonzero(dsl._is_clean)[0][0])
+        poison_idx = int(np.nonzero(~dsl._is_clean)[0][0])
+        clean = dsl.get_sample(clean_idx)
+        assert np.all(clean["pixel_values"] == 0)  # R = 0 for clean rows
+        np.testing.assert_allclose(clean["target"], clean["image"])
+        poison = dsl.get_sample(poison_idx)
+        # trigger region stamped: equals trigger values there
+        np.testing.assert_allclose(poison["pixel_values"][16:30, 16:30], dsl.trigger[16:30, 16:30], atol=1e-6)
+        np.testing.assert_allclose(poison["target"], dsl.target, atol=1e-6)
+
+    def test_flex_mode(self):
+        dsl = DatasetLoader(DatasetLoader.FAKE, batch_size=8, fake_size=64)
+        dsl.set_poison("BOX_14", "CORNER", clean_rate=0.5, poison_rate=0.25)
+        dsl.prepare_dataset(mode=DatasetLoader.MODE_FLEX)
+        assert len(dsl) == 48  # 32 clean + 16 poison
+        assert (~dsl._is_clean).sum() == 16
+
+    def test_flex_overflow_raises(self):
+        dsl = DatasetLoader(DatasetLoader.FAKE, fake_size=64)
+        dsl.set_poison("BOX_14", "CORNER", clean_rate=0.9, poison_rate=0.5)
+        with pytest.raises(ValueError):
+            dsl.prepare_dataset(mode=DatasetLoader.MODE_FLEX)
+
+    def test_drop_last(self):
+        dsl = DatasetLoader(DatasetLoader.FAKE, batch_size=30, fake_size=64)
+        dsl.set_poison("BOX_14", "CORNER", poison_rate=0.1).prepare_dataset()
+        batches = list(dsl.epoch_batches(0))
+        assert len(batches) == 2  # 64 // 30, last partial dropped
+        assert all(b["image_u8"].shape[0] == 30 for b in batches)
+
+    def test_device_prefetch(self):
+        from baddiffusion_tpu.data import device_prefetch
+
+        dsl = self.make()
+        out = list(device_prefetch(dsl.epoch_batches(0), size=2))
+        assert len(out) == 4
+        assert out[0]["image_u8"].shape == (16, 32, 32, 3)

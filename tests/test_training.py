@@ -1,0 +1,121 @@
+"""Training layer: LR schedule oracle, train-step loss descent, grad accum
+equivalence, sharded multi-device step on the virtual CPU mesh, checkpoint
+resume."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from baddiffusion_tpu.data import DatasetLoader
+from baddiffusion_tpu.models import UNet2DConfig, UNet2DModel
+from baddiffusion_tpu.parallel import make_mesh
+from baddiffusion_tpu.schedulers import DDPMConfig, DDPMScheduler
+from baddiffusion_tpu.training import (
+    cosine_schedule_with_warmup,
+    create_train_state,
+    load_trainer_state,
+    make_optimizer,
+    make_train_step,
+    save_trainer_state,
+)
+
+TINY = UNet2DConfig(
+    sample_size=16,
+    layers_per_block=1,
+    block_out_channels=(8, 16),
+    down_block_types=("DownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "UpBlock2D"),
+    norm_num_groups=4,
+    attention_head_dim=4,
+)
+
+
+def make_bits(batch_size=8, grad_accum=1, mesh=None, lr=1e-3):
+    model = UNet2DModel(TINY)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sched = DDPMScheduler(DDPMConfig())
+    sstate = sched.create_state()
+    optimizer, lr_sched = make_optimizer(lr, num_warmup_steps=10, num_training_steps=100)
+    dsl = DatasetLoader(DatasetLoader.FAKE, image_size=16, batch_size=batch_size, fake_size=32)
+    dsl.set_poison("BOX_8", "CORNER", poison_rate=0.5).prepare_dataset()
+    state = create_train_state(params, optimizer, dsl.trigger, dsl.target, dsl.mask)
+    step = make_train_step(
+        model,
+        optimizer,
+        sched.config.num_train_timesteps,
+        sstate.schedule.alphas,
+        sstate.schedule.alphas_cumprod,
+        grad_accum=grad_accum,
+        mesh=mesh,
+    )
+    return model, state, step, dsl, lr_sched
+
+
+def test_cosine_schedule_matches_reference_formula():
+    sched = cosine_schedule_with_warmup(2e-4, num_warmup_steps=500, num_training_steps=10_000)
+    assert float(sched(0)) == 0.0
+    assert float(sched(250)) == pytest.approx(1e-4)
+    assert float(sched(500)) == pytest.approx(2e-4)
+    # cosine at mid progress
+    prog = (5250 - 500) / (10_000 - 500)
+    expected = 2e-4 * 0.5 * (1 + math.cos(math.pi * prog))
+    assert float(sched(5250)) == pytest.approx(expected, rel=1e-5)
+    assert float(sched(10_000)) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_loss_decreases():
+    model, state, step, dsl, _ = make_bits(batch_size=8, lr=5e-3)
+    batch = next(dsl.epoch_batches(0))
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(0))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 12
+
+
+def test_grad_accum_matches_full_batch():
+    # same RNG split per micro-batch != full batch exactly, but with zero
+    # noise difference eliminated: compare accum grads vs manual mean of micro grads
+    model, state, step1, dsl, _ = make_bits(batch_size=8, grad_accum=1)
+    _, state2, step2, _, _ = make_bits(batch_size=8, grad_accum=2)
+    batch = next(dsl.epoch_batches(0))
+    s1, m1 = step1(state, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(1))
+    s2, m2 = step2(state2, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(1))
+    # both descend and produce finite loss; exact equality isn't expected
+    # (different per-micro RNG), but magnitudes must agree
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1.0
+
+
+def test_sharded_step_on_mesh():
+    assert len(jax.devices()) == 8, "conftest must expose 8 virtual devices"
+    mesh = make_mesh()
+    model, state, step, dsl, _ = make_bits(batch_size=16, mesh=mesh)
+    batch = next(dsl.epoch_batches(0))
+    state, metrics = step(state, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # params stay replicated; second step consumes donated state fine
+    state, metrics = step(state, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model, state, step, dsl, _ = make_bits()
+    batch = next(dsl.epoch_batches(0))
+    state, _ = step(state, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(0))
+    save_trainer_state(str(tmp_path), jax.device_get(state), epoch=3)
+
+    _, template, _, _, _ = make_bits()
+    restored, epoch, gstep = load_trainer_state(str(tmp_path), jax.device_get(template))
+    assert epoch == 3 and gstep == 1
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+    # training continues from the restored state
+    restored2, metrics = step(restored, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(1))
+    assert int(restored2.step) == 2

@@ -1,0 +1,123 @@
+"""Minimal torchvision stand-in so the reference `dataset.py` can be imported
+as a parity oracle (torchvision isn't installed in this environment).
+
+Implements just the transforms the reference `Backdoor` factory uses
+(Grayscale/Resize/ToTensor/Lambda/Pad/RandomHorizontalFlip/Compose) with PIL +
+torch semantics matching torchvision's defaults (bilinear+antialias resize).
+"""
+
+import sys
+import types
+
+import numpy as np
+import torch
+from PIL import Image
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, x):
+        for t in self.transforms:
+            x = t(x)
+        return x
+
+
+class Lambda:
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, x):
+        return self.fn(x)
+
+
+class Grayscale:
+    def __init__(self, num_output_channels=1):
+        self.n = num_output_channels
+
+    def __call__(self, img):
+        return img.convert("L")
+
+
+class Resize:
+    def __init__(self, size, **kwargs):
+        self.size = size
+
+    def __call__(self, img):
+        if isinstance(self.size, int):
+            w, h = img.size
+            if w <= h:
+                new = (self.size, max(1, round(h * self.size / w)))
+            else:
+                new = (max(1, round(w * self.size / h)), self.size)
+        else:
+            new = (self.size[1], self.size[0])
+        return img.resize(new, Image.BILINEAR)
+
+
+class ToTensor:
+    def __call__(self, img):
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[None]
+        else:
+            arr = arr.transpose(2, 0, 1)
+        return torch.from_numpy(arr.copy())
+
+
+class Pad:
+    def __init__(self, padding, fill=0):
+        self.padding = padding  # [l, t, r, b]
+        self.fill = fill
+
+    def __call__(self, x):
+        l, t, r, b = self.padding
+        return torch.nn.functional.pad(x, (l, r, t, b), value=self.fill)
+
+
+class RandomHorizontalFlip:
+    def __init__(self, p=0.5):
+        self.p = p
+
+    def __call__(self, x):  # deterministic no-op for oracle use
+        return x
+
+
+def _unavailable_dataset(*args, **kwargs):
+    raise RuntimeError("torchvision datasets unavailable offline")
+
+
+def install():
+    """Register fake torchvision modules in sys.modules."""
+    import importlib.machinery
+
+    tv = types.ModuleType("torchvision")
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+    tv.__version__ = "0.0.0-shim"
+    transforms_mod = types.ModuleType("torchvision.transforms")
+    for name, obj in [
+        ("Compose", Compose), ("Lambda", Lambda), ("Grayscale", Grayscale),
+        ("Resize", Resize), ("ToTensor", ToTensor), ("Pad", Pad),
+        ("RandomHorizontalFlip", RandomHorizontalFlip),
+        ("ToPILImage", _unavailable_dataset), ("CenterCrop", _unavailable_dataset),
+    ]:
+        setattr(transforms_mod, name, obj)
+    datasets_mod = types.ModuleType("torchvision.datasets")
+    for name in ("MNIST", "FashionMNIST", "CIFAR10", "SVHN"):
+        setattr(datasets_mod, name, _unavailable_dataset)
+    utils_mod = types.ModuleType("torchvision.utils")
+    utils_mod.save_image = lambda *a, **k: None
+    utils_mod.make_grid = lambda *a, **k: None
+    tv.transforms = transforms_mod
+    tv.datasets = datasets_mod
+    tv.utils = utils_mod
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", transforms_mod)
+    sys.modules.setdefault("torchvision.datasets", datasets_mod)
+    sys.modules.setdefault("torchvision.utils", utils_mod)
+
+    # reference util.py imports comet_ml (fully unused in the oracle paths)
+    comet = types.ModuleType("comet_ml")
+    comet.Experiment = comet.ExistingExperiment = _unavailable_dataset
+    sys.modules.setdefault("comet_ml", comet)
