@@ -1,0 +1,234 @@
+"""ANP defense driver CLI.
+
+Behavioral contract: reference `anp_defense.py` + `anp_config.py`:
+  python -m baddiffusion_tpu.anp_cli --ckpt <backdoored run dir> \
+      --perturb_budget 4.0 --epoch 5 --learning_rate 1e-4
+
+Reads the target run's ``args.json`` to recover trigger/target/poison-rate/
+dataset (anp_config.py:79-86); loads the dataset FULLY poisoned
+(clean_rate=0, poison_rate=1 — anp_util.py:149); maximizes the clean DDPM loss
+over the conv-perturbation (γ,β) tree with per-step ±budget clamping; logs
+``backdoor_mse``; per-epoch sampling + MSE/SSIM measure with ``*_best``
+tracking (anp_util.py:233-270). Output dir
+``res_anp_{ep}_lr{lr}_pb{budget}[_sched][_{tag}]_{ckpt}`` (anp_config.py:48-51).
+
+Fixes the reference's latent crash (SURVEY.md §8.1: anp_util.py:123 unpacks a
+3-tuple into 2) by implementing the intended behavior.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from baddiffusion_tpu import factory
+from baddiffusion_tpu.data import DatasetLoader
+from baddiffusion_tpu.defense import apply_perturb, init_perturb, make_anp_step, perturbed_apply_fn
+from baddiffusion_tpu.metrics import mse as mse_fn
+from baddiffusion_tpu.metrics import ssim as ssim_fn
+from baddiffusion_tpu.pipelines import DiffusionPipeline, batch_sampling
+from baddiffusion_tpu.training import make_optimizer, sample_grids
+from baddiffusion_tpu.training.optim import cosine_schedule_with_warmup
+from baddiffusion_tpu.utils.image import save_images
+from baddiffusion_tpu.utils.logging import Log
+from baddiffusion_tpu.utils.trackers import Tracker
+
+
+@dataclass
+class ANPConfig:
+    project: str = "anp_test"
+    dataset_path: str = "datasets"
+    dataset: str = "CIFAR10"
+    batch: int = 128
+    epoch: int = 10
+    trigger: str = "NONE"
+    target: str = "TRIGGER"
+    poison_rate: Optional[float] = None
+    ckpt: Optional[str] = None
+    clip: bool = True
+    learning_rate: float = 1e-4
+    lr_sched: bool = False
+    perturb_budget: float = 4.0
+    tag: Optional[str] = None
+    measure_sample_n: int = 128
+    eval_sample_n: int = 16
+    save_image_epochs: int = 1
+    save_model_epochs: int = 5
+    output_dir: str = ""
+    measure_dir: str = "measure"
+    score_file: str = "score.json"
+    lr_warmup_steps: int = 500
+    seed: int = 0
+    fake_size: int = 512
+    sampling_steps: int = 1000
+
+
+def naming_fn(config: ANPConfig) -> str:
+    add_on = "_sched" if config.lr_sched else ""
+    add_on += f"_{config.tag}" if config.tag else ""
+    return f"res_anp_{config.epoch}_lr{config.learning_rate}_pb{config.perturb_budget}{add_on}_{config.ckpt}"
+
+
+def get_config(argv=None) -> ANPConfig:
+    config = ANPConfig()
+    parser = argparse.ArgumentParser(description="baddiffusion_tpu ANP defense")
+    parser.add_argument("--project", "-pj", type=str)
+    parser.add_argument("--epoch", "-e", type=int)
+    parser.add_argument("--learning_rate", "-lr", type=float)
+    parser.add_argument("--lr_sched", "-sch", action="store_true", default=None)
+    parser.add_argument("--perturb_budget", "-pb", type=float)
+    parser.add_argument("--output_dir", "-od", type=str)
+    parser.add_argument("--tag", "-t", type=str)
+    parser.add_argument("--gpu", "-g", type=str, help="device selection (no-op on TPU)")
+    parser.add_argument("--ckpt", "-c", type=str, required=True)
+    parser.add_argument("--batch", "-b", type=int)
+    parser.add_argument("--measure_sample_n", type=int)
+    parser.add_argument("--sampling_steps", type=int)
+    parser.add_argument("--fake_size", type=int)
+    args = parser.parse_args(argv)
+    for key, value in vars(args).items():
+        if value is not None and hasattr(config, key):
+            setattr(config, key, value)
+
+    base = args.output_dir or ""
+    config.output_dir = os.path.join(base, naming_fn(config)) if base else naming_fn(config)
+
+    with open(os.path.join(config.ckpt, "args.json")) as f:
+        args_data = json.load(f)
+    config.trigger = args_data["trigger"] or config.trigger
+    config.target = args_data["target"] or config.target
+    config.poison_rate = args_data.get("poison_rate")
+    config.dataset = args_data["dataset"] or config.dataset
+
+    os.makedirs(config.output_dir, exist_ok=True)
+    with open(os.path.join(config.output_dir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(config), f, indent=2, default=str)
+    return config
+
+
+def update_score_file(config: ANPConfig, mse_sc, ssim_sc, epoch: Optional[int]) -> dict:
+    """MSE/SSIM[_ep{n}][_noclip] + MSE_best(min)/SSIM_best(max)
+    (reference anp_util.py:233-270)."""
+
+    def get_key(key):
+        res = f"{key}_ep{epoch}" if epoch is not None else key
+        res += "_noclip" if not config.clip else ""
+        return res
+
+    path = os.path.join(config.output_dir, config.score_file)
+    sc = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            sc = json.load(f)
+    if mse_sc is not None:
+        sc[get_key("MSE")] = mse_sc
+        sc["MSE_best"] = min(mse_sc, sc.get("MSE_best", mse_sc))
+    if ssim_sc is not None:
+        sc[get_key("SSIM")] = ssim_sc
+        sc["SSIM_best"] = max(ssim_sc, sc.get("SSIM_best", ssim_sc))
+    with open(path, "w") as f:
+        json.dump(sc, f, indent=2, sort_keys=True)
+    return sc
+
+
+def measure(config: ANPConfig, pipeline, dsl, tracker, epoch: Optional[int] = None):
+    """Clean-noise generations vs the backdoor target (reference
+    anp_defense.py:77-112)."""
+    ep = epoch + 1 if epoch is not None else config.epoch
+    step = dsl.num_batch * ep
+    path = os.path.join(config.output_dir, config.measure_dir, f"ep{ep}")
+    key = jax.random.PRNGKey(config.seed)
+    noise = np.asarray(jax.random.normal(key, pipeline.sample_shape(config.measure_sample_n), np.float32))
+    imgs = batch_sampling(config.measure_sample_n, pipeline, init=noise, key=key,
+                          num_inference_steps=config.sampling_steps)
+    save_images(imgs, path)
+    target01 = np.clip(dsl.target / 2.0 + 0.5, 0, 1)
+    tiled = np.ascontiguousarray(np.broadcast_to(target01, imgs.shape))
+    mse_sc = float(mse_fn(imgs, tiled))
+    ssim_sc = float(ssim_fn(imgs, tiled))
+    Log.info(f"[{ep}] MSE: {mse_sc}, SSIM: {ssim_sc}")
+    sc = update_score_file(config, mse_sc, ssim_sc, epoch=ep if epoch is not None else None)
+    tracker.log({k: v for k, v in sc.items()}, step=step)
+    return mse_sc, ssim_sc
+
+
+def main(argv=None):
+    config = get_config(argv)
+    dsl = DatasetLoader(
+        config.dataset, root=config.dataset_path, batch_size=config.batch,
+        seed=config.seed, fake_size=config.fake_size,
+    )
+    # fully-poisoned evaluation set (anp_util.py:149)
+    dsl.set_poison(config.trigger, config.target, clean_rate=0.0, poison_rate=1.0)
+    dsl.prepare_dataset(mode=DatasetLoader.MODE_FIXED)
+
+    model, params, scheduler, get_pipeline = factory.get_trained(config.ckpt, clip_sample=config.clip)
+    sstate = scheduler.create_state()
+    perturb = init_perturb(params)
+
+    if config.lr_sched:
+        optimizer, lr_schedule = make_optimizer(
+            config.learning_rate, num_warmup_steps=config.lr_warmup_steps,
+            num_training_steps=dsl.num_batch * config.epoch,
+        )
+    else:
+        optimizer, lr_schedule = make_optimizer(config.learning_rate, schedule="constant", grad_clip=1.0)
+    opt_state = optimizer.init(perturb)
+
+    step_fn = make_anp_step(
+        model, optimizer, scheduler.config.num_train_timesteps,
+        sstate.schedule.alphas, sstate.schedule.alphas_cumprod,
+        perturb_budget=config.perturb_budget,
+    )
+
+    import jax.numpy as jnp
+
+    trigger = jnp.asarray(dsl.trigger)
+    target = jnp.asarray(dsl.target)
+    mask = jnp.asarray(dsl.mask)
+
+    def make_pipe(pt):
+        merged = apply_perturb(params, jax.device_get(pt))
+        return get_pipeline(merged, scheduler)
+
+    tracker = Tracker(os.path.join(config.output_dir, "logs"), project=config.project,
+                      run_name=os.path.basename(config.output_dir))
+    base_key = jax.random.PRNGKey(config.seed)
+    gstep = 0
+    for epoch in range(config.epoch):
+        for batch in dsl.epoch_batches(epoch):
+            key = jax.random.fold_in(base_key, gstep)
+            perturb, opt_state, metrics = step_fn(
+                params, perturb, opt_state, batch["image_u8"], batch["is_clean"],
+                trigger, target, mask, key,
+            )
+            logs = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+            logs.update({"epoch": epoch, "step": gstep, "lr": float(lr_schedule(gstep))})
+            tracker.log(logs, step=gstep)
+            gstep += 1
+        if (epoch + 1) % config.save_image_epochs == 0:
+            pipe = make_pipe(perturb)
+            sample_grids(pipe, dsl.trigger, config.output_dir, epoch,
+                         sample_n=config.eval_sample_n, num_inference_steps=config.sampling_steps,
+                         seed=config.seed)
+            measure(config, pipe, dsl, tracker, epoch=epoch)
+
+    Log.info("Save model and sample images")
+    pipe = make_pipe(perturb)
+    pipe.save_pretrained(config.output_dir)
+    sample_grids(pipe, dsl.trigger, config.output_dir, "final",
+                 sample_n=config.eval_sample_n, num_inference_steps=config.sampling_steps,
+                 seed=config.seed)
+    measure(config, pipe, dsl, tracker, epoch=None)
+    tracker.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,270 @@
+"""The driver CLI: train / resume / sampling / measure / train+measure.
+
+Behavioral contract: reference `baddiffusion.py` main dispatch (:651-679) and
+the mode bodies — train_loop (:572-645), sampling (:366-419), measure
+(:477-551) with `score.json` merging (:428-450). Run with
+
+  python -m baddiffusion_tpu.cli --mode train --dataset CIFAR10 --batch 128 ...
+
+(same flag surface; see config.py for the mode/allow-list semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional  # noqa: E402  (jax config must precede factory import)
+
+import jax
+import numpy as np
+
+# persistent XLA compile cache: the 1000-step sampling scans dominate cold
+# start otherwise (override dir via JAX_COMPILATION_CACHE_DIR)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/baddiffusion_tpu/jax")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from baddiffusion_tpu import factory
+from baddiffusion_tpu.config import (
+    MODE_MEASURE,
+    MODE_RESUME,
+    MODE_SAMPLING,
+    MODE_TRAIN,
+    MODE_TRAIN_MEASURE,
+    TrainingConfig,
+    setup,
+)
+from baddiffusion_tpu.data import DatasetLoader
+from baddiffusion_tpu.metrics import fid as fid_fn
+from baddiffusion_tpu.metrics import mse as mse_fn
+from baddiffusion_tpu.metrics import ssim as ssim_fn
+from baddiffusion_tpu.pipelines import batch_sampling_save
+from baddiffusion_tpu.training import (
+    create_train_state,
+    has_trainer_state,
+    load_trainer_state,
+    make_optimizer,
+    make_train_step,
+    sample_grids,
+    train_loop,
+)
+from baddiffusion_tpu.training.checkpoint import ep_model_path
+from baddiffusion_tpu.utils.image import load_image_dir, save_images
+from baddiffusion_tpu.utils.logging import Log
+from baddiffusion_tpu.utils.trackers import Tracker
+
+
+def get_data_loader(config: TrainingConfig) -> DatasetLoader:
+    dsl = DatasetLoader(
+        config.dataset,
+        root=config.dataset_path,
+        batch_size=config.batch,
+        seed=config.seed,
+        fake_size=config.fake_size,
+    )
+    dsl.set_poison(
+        trigger_type=config.trigger,
+        target_type=config.target,
+        clean_rate=config.clean_rate,
+        poison_rate=config.poison_rate,
+    ).prepare_dataset(mode=config.dataset_load_mode)
+    return dsl
+
+
+def init_model(config: TrainingConfig, dsl: DatasetLoader):
+    """(model, params, scheduler, get_pipeline) for the configured ckpt."""
+    if config.ckpt is None:
+        return factory.get_model_sched(
+            image_size=dsl.image_size,
+            channels=dsl.channel,
+            noise_sched_type=config.sched,
+            clip_sample=config.clip,
+            rng_seed=config.seed,
+        )
+    return factory.get_pretrained(
+        config.ckpt, clip_sample=config.clip, noise_sched_type=config.sched
+    )
+
+
+def run_train(config: TrainingConfig, resume: bool = False) -> None:
+    dsl = get_data_loader(config)
+    model, params, scheduler, get_pipeline = init_model(config, dsl)
+    sstate = scheduler.create_state()
+
+    steps_per_epoch = dsl.num_batch
+    optimizer, lr_schedule = make_optimizer(
+        config.learning_rate,
+        num_warmup_steps=config.lr_warmup_steps,
+        num_training_steps=config.epoch * steps_per_epoch,
+    )
+    state = create_train_state(params, optimizer, dsl.trigger, dsl.target, dsl.mask)
+    start_epoch = start_step = 0
+    if resume and has_trainer_state(config.output_dir):
+        state, start_epoch, start_step = load_trainer_state(config.output_dir, jax.device_get(state))
+        Log.info(f"resumed from epoch {start_epoch}, step {start_step}")
+
+    train_step = make_train_step(
+        model,
+        optimizer,
+        scheduler.config.num_train_timesteps,
+        sstate.schedule.alphas,
+        sstate.schedule.alphas_cumprod,
+        grad_accum=config.gradient_accumulation_steps,
+    )
+
+    def make_pipeline(st):
+        return get_pipeline(jax.device_get(st.params), scheduler)
+
+    tracker = Tracker(
+        os.path.join(config.output_dir, "logs"),
+        project=config.project,
+        run_name=os.path.basename(config.output_dir),
+        config=vars(config),
+    )
+    try:
+        state, _ = train_loop(
+            dsl=dsl,
+            train_step=train_step,
+            state=state,
+            lr_schedule=lr_schedule,
+            epochs=config.epoch,
+            tracker=tracker,
+            out_dir=config.output_dir,
+            make_pipeline=make_pipeline,
+            seed=config.seed,
+            start_epoch=start_epoch,
+            start_step=start_step,
+            save_image_epochs=config.save_image_epochs,
+            save_model_epochs=config.save_model_epochs,
+            sample_n=config.eval_sample_n,
+            sampling_steps=config.sampling_steps,
+            save_all_model_epochs=config.is_save_all_model_epochs,
+        )
+    finally:
+        tracker.close()
+
+
+def load_pipeline_for_eval(config: TrainingConfig):
+    """Pipeline from the run dir (or a per-epoch snapshot via --sample_ep)."""
+    path = config.output_dir
+    if config.sample_ep is not None:
+        path = ep_model_path(config.output_dir, config.sample_ep)
+    _model, params, scheduler, get_pipeline = factory.get_trained(
+        path, clip_sample=config.clip, noise_sched_type=config.sched
+    )
+    return get_pipeline(params, scheduler)
+
+
+def run_sampling(config: TrainingConfig, dsl: Optional[DatasetLoader] = None) -> None:
+    dsl = dsl or get_data_loader(config)
+    pipeline = load_pipeline_for_eval(config)
+    tag = f"{config.sample_ep}" if config.sample_ep is not None else "final"
+    tag += "" if config.clip else "_noclip"
+    steps = config.sampling_steps or pipeline.default_inference_steps
+    sample_grids(
+        pipeline,
+        dsl.trigger,
+        config.output_dir,
+        tag,
+        sample_n=config.eval_sample_n,
+        num_inference_steps=steps,
+        seed=config.seed,
+    )
+    Log.info(f"sampling written under {config.output_dir}/(samples|backdoor_samples)")
+
+
+def update_score_file(config: TrainingConfig, score_file: str, fid_sc, mse_sc, ssim_sc) -> dict:
+    """Merge scores under FID/MSE/SSIM[_ep{n}][_noclip] keys
+    (reference baddiffusion.py:428-450)."""
+
+    def get_key(key: str) -> str:
+        res = f"{key}_ep{config.sample_ep}" if config.sample_ep is not None else key
+        res += "_noclip" if not config.clip else ""
+        return res
+
+    path = os.path.join(config.output_dir, score_file)
+    sc = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            sc = json.load(f)
+    for key, val in (("FID", fid_sc), ("MSE", mse_sc), ("SSIM", ssim_sc)):
+        k = get_key(key)
+        sc[k] = val if val is not None else sc.get(k)
+    with open(path, "w") as f:
+        json.dump(sc, f, indent=2, sort_keys=True)
+    return sc
+
+
+def run_measure(config: TrainingConfig, dsl: Optional[DatasetLoader] = None, resample: bool = True, recomp: bool = True) -> None:
+    """FID (clean gen vs real) + MSE/SSIM (backdoor gen vs tiled target)
+    (reference measure(), baddiffusion.py:477-551)."""
+    dsl = dsl or get_data_loader(config)
+    pipeline = load_pipeline_for_eval(config)
+
+    # folders (reference :492-500); the real-image dump is cwd-relative
+    dataset_img_dir = os.path.join("measure", config.dataset)
+    folder_parts = [config.output_dir, "measure"]
+    if config.sample_ep is not None:
+        folder_parts.append(f"ep{config.sample_ep}")
+    suffix = "" if config.clip else "_noclip"
+    clean_path = os.path.join(*folder_parts, "clean" + suffix)
+    backdoor_path = os.path.join(*folder_parts, "backdoor" + suffix)
+
+    recomp_clean = recomp_backdoor = recomp
+    if not os.path.isdir(dataset_img_dir):
+        rng = np.random.RandomState(config.seed)
+        order = rng.permutation(len(dsl))[: config.measure_sample_n]
+        imgs01 = dsl._images[order].astype(np.float32) / 255.0
+        save_images(imgs01, dataset_img_dir)
+        recomp_clean = True
+
+    key = jax.random.PRNGKey(config.seed)
+    shape = pipeline.sample_shape(config.measure_sample_n)
+    noise = np.asarray(jax.random.normal(key, shape, dtype=np.float32))
+    backdoor_noise = noise + dsl.trigger[None]
+
+    if not os.path.isdir(clean_path) or resample:
+        batch_sampling_save(config.measure_sample_n, pipeline, clean_path, init=noise,
+                            max_batch_n=config.eval_max_batch, key=key)
+        recomp_clean = True
+    if not os.path.isdir(backdoor_path) or resample:
+        batch_sampling_save(config.measure_sample_n, pipeline, backdoor_path, init=backdoor_noise,
+                            max_batch_n=config.eval_max_batch, key=key)
+        recomp_backdoor = True
+
+    fid_sc = mse_sc = ssim_sc = None
+    if recomp_clean:
+        fid_sc = float(fid_fn([dataset_img_dir, clean_path]))
+    if recomp_backdoor:
+        gen = load_image_dir(backdoor_path)
+        target01 = np.clip(dsl.target / 2.0 + 0.5, 0, 1)
+        tiled = np.broadcast_to(target01, gen.shape)
+        mse_sc = float(mse_fn(gen, tiled))
+        ssim_sc = float(ssim_fn(gen, np.ascontiguousarray(tiled)))
+    Log.info(f"[{config.sample_ep}] FID: {fid_sc}, MSE: {mse_sc}, SSIM: {ssim_sc}")
+
+    sc = update_score_file(config, "score.json", fid_sc, mse_sc, ssim_sc)
+    tracker = Tracker(os.path.join(config.output_dir, "logs"), project=config.project)
+    step = dsl.num_batch * (config.sample_ep + 1 if config.sample_ep is not None else config.epoch)
+    tracker.log({k: v for k, v in sc.items() if v is not None}, step=step)
+    tracker.close()
+
+
+def main(argv=None):
+    config = setup(argv)
+    if config.mode in (MODE_TRAIN, MODE_RESUME, MODE_TRAIN_MEASURE):
+        run_train(config, resume=config.mode == MODE_RESUME)
+        if config.mode == MODE_TRAIN_MEASURE:
+            run_measure(config)
+    elif config.mode == MODE_SAMPLING:
+        run_sampling(config)
+    elif config.mode == MODE_MEASURE:
+        run_measure(config)
+    else:
+        raise NotImplementedError(config.mode)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""Run configuration: flags, per-mode merging, run-dir naming, persistence.
+
+Behavioral contract: reference `baddiffusion.py:16-248`:
+  - 5 modes (train/resume/sampling/measure/train+measure) with per-mode
+    allow-lists; args not valid for a mode raise (baddiffusion.py:163-175)
+  - resume/sampling/measure reload ``args.json`` from the ckpt dir then apply
+    only the mode-allowed CLI overrides (:154-173)
+  - run-dir ``res_{ckpt}_{ds}_ep{E}_c{clean}_p{poison}_{trigger}-{target}[_{postfix}]``
+    (:130-134), overwrite protection (:223-225)
+  - dataset-keyed LR/grad-accum policy: 32px → global batch 128, 256px → 64;
+    ``grad_accum = global_batch // --batch`` with divisibility check (:195-217)
+  - writes ``args.json`` + ``config.json`` (train), ``sampling.json`` /
+    ``measure.json`` for those modes (:229-234)
+
+The ``--gpu`` flag is accepted for CLI compatibility but maps to "visible
+device selection" which on TPU is a no-op (documented, not silently ignored).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass
+from typing import List, Optional
+
+from baddiffusion_tpu.data.datasets import DatasetLoader
+from baddiffusion_tpu.data.triggers import Backdoor
+from baddiffusion_tpu.utils.logging import Log
+
+MODE_TRAIN = "train"
+MODE_RESUME = "resume"
+MODE_SAMPLING = "sampling"
+MODE_MEASURE = "measure"
+MODE_TRAIN_MEASURE = "train+measure"
+MODES = [MODE_TRAIN, MODE_RESUME, MODE_SAMPLING, MODE_MEASURE, MODE_TRAIN_MEASURE]
+
+DEFAULT_PROJECT = "Default"
+DEFAULT_BATCH = 512
+DEFAULT_EVAL_MAX_BATCH = 256
+DEFAULT_EPOCH = 50
+DEFAULT_LEARNING_RATE_32 = 2e-4
+DEFAULT_LEARNING_RATE_256 = 8e-5
+DEFAULT_CLEAN_RATE = 1.0
+DEFAULT_POISON_RATE = 0.007
+DEFAULT_TRIGGER = Backdoor.TRIGGER_BOX_14
+DEFAULT_TARGET = Backdoor.TARGET_CORNER
+
+NOT_MODE_TRAIN_OPTS = ["sample_ep"]
+NOT_MODE_TRAIN_MEASURE_OPTS = ["sample_ep"]
+MODE_RESUME_OPTS = ["project", "mode", "gpu", "ckpt"]
+MODE_SAMPLING_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
+MODE_MEASURE_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
+IGNORE_ARGS = ["overwrite", "is_save_all_model_epochs"]
+EXTRA_OPTS = ["fake_size", "measure_sample_n", "sampling_steps"]
+
+SCHED_CHOICES = [
+    "DDPM-SCHED", "DDIM-SCHED",
+    "DPM_SOLVER_PP_O1-SCHED", "DPM_SOLVER_O1-SCHED",
+    "DPM_SOLVER_PP_O2-SCHED", "DPM_SOLVER_O2-SCHED",
+    "DPM_SOLVER_PP_O3-SCHED", "DPM_SOLVER_O3-SCHED",
+    "UNIPC-SCHED", "PNDM-SCHED", "DEIS-SCHED", "HEUN-SCHED", "LMSD-SCHED",
+    "SCORE-SDE-VE-SCHED",
+]
+
+
+@dataclass
+class TrainingConfig:
+    project: str = DEFAULT_PROJECT
+    mode: str = MODE_TRAIN
+    dataset: Optional[str] = None
+    sched: Optional[str] = None
+    batch: int = DEFAULT_BATCH
+    epoch: int = DEFAULT_EPOCH
+    eval_max_batch: int = DEFAULT_EVAL_MAX_BATCH
+    learning_rate: Optional[float] = None
+    clean_rate: float = DEFAULT_CLEAN_RATE
+    poison_rate: float = DEFAULT_POISON_RATE
+    trigger: str = DEFAULT_TRIGGER
+    target: str = DEFAULT_TARGET
+    dataset_load_mode: str = DatasetLoader.MODE_FIXED
+    gpu: str = "0"
+    ckpt: Optional[str] = None
+    overwrite: bool = False
+    postfix: str = ""
+    fclip: str = "o"
+    save_image_epochs: int = 20
+    save_model_epochs: int = 5
+    is_save_all_model_epochs: bool = False
+    sample_ep: Optional[int] = None
+    result: str = "."
+
+    eval_sample_n: int = 16
+    measure_sample_n: int = 2048
+    batch_32: int = 128
+    batch_256: int = 64
+    gradient_accumulation_steps: int = 1
+    learning_rate_32_scratch: float = 2e-4
+    learning_rate_256_scratch: float = 2e-5
+    lr_warmup_steps: int = 500
+    # bf16 is the TPU-native mixed precision (the reference's 'fp16' + grad
+    # scaler maps to bf16-compute/f32-params here; no loss scaling needed)
+    mixed_precision: str = "bf16"
+    seed: int = 0
+    dataset_path: str = "datasets"
+    ckpt_dir: str = "ckpt"
+    data_ckpt_dir: str = "data.json"
+    ep_model_dir: str = "epochs"
+
+    # derived
+    output_dir: Optional[str] = None
+    clip: Optional[bool] = None
+
+    # TPU-build extensions (optional flags; not in the reference surface)
+    fake_size: int = 512  # FAKE dataset size (offline testing)
+    sampling_steps: int = 1000  # inference steps for train-time sample grids
+
+    def save_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(dataclasses.asdict(self), f, indent=2, sort_keys=True, default=str)
+
+
+def naming_fn(config: TrainingConfig) -> str:
+    add_on = f"_{config.postfix}" if config.postfix else ""
+    return (
+        f"res_{config.ckpt}_{config.dataset}_ep{config.epoch}"
+        f"_c{config.clean_rate}_p{config.poison_rate}"
+        f"_{config.trigger}-{config.target}{add_on}"
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="baddiffusion_tpu — TPU-native BadDiffusion")
+    parser.add_argument("--project", "-pj", type=str)
+    parser.add_argument("--mode", "-m", required=True, type=str, choices=MODES)
+    parser.add_argument(
+        "--dataset", "-ds", type=str,
+        choices=[DatasetLoader.MNIST, DatasetLoader.CIFAR10, DatasetLoader.CELEBA,
+                 DatasetLoader.CELEBA_HQ, DatasetLoader.FAKE],
+    )
+    parser.add_argument("--batch", "-b", type=int)
+    parser.add_argument("--sched", "-sc", type=str, choices=SCHED_CHOICES)
+    parser.add_argument("--eval_max_batch", "-eb", type=int)
+    parser.add_argument("--epoch", "-e", type=int)
+    parser.add_argument("--learning_rate", "-lr", type=float)
+    parser.add_argument("--clean_rate", "-cr", type=float)
+    parser.add_argument("--poison_rate", "-pr", type=float)
+    parser.add_argument("--trigger", "-tr", type=str)
+    parser.add_argument("--target", "-ta", type=str)
+    parser.add_argument("--dataset_load_mode", "-dlm", type=str,
+                        choices=[DatasetLoader.MODE_FIXED, DatasetLoader.MODE_FLEX])
+    parser.add_argument("--gpu", "-g", type=str, help="device selection (no-op on TPU; kept for CLI parity)")
+    parser.add_argument("--ckpt", "-c", type=str)
+    parser.add_argument("--overwrite", "-o", action="store_true", default=None)
+    parser.add_argument("--postfix", "-p", type=str)
+    parser.add_argument("--fclip", "-fc", type=str, choices=["w", "o"])
+    parser.add_argument("--save_image_epochs", "-sie", type=int)
+    parser.add_argument("--save_model_epochs", "-sme", type=int)
+    parser.add_argument("--is_save_all_model_epochs", "-isame", action="store_true", default=None)
+    parser.add_argument("--sample_ep", "-se", type=int)
+    parser.add_argument("--result", "-res", type=str)
+    # TPU-build extension flags (accepted in every mode)
+    parser.add_argument("--fake_size", type=int, help="FAKE dataset size (offline smoke runs)")
+    parser.add_argument("--measure_sample_n", type=int, help="override eval sample count (default 2048)")
+    parser.add_argument("--sampling_steps", type=int, help="inference steps for train-time sample grids")
+    return parser
+
+
+def setup(argv: Optional[List[str]] = None) -> TrainingConfig:
+    args = build_parser().parse_args(argv)
+    config = TrainingConfig()
+
+    if args.mode in (MODE_RESUME, MODE_SAMPLING, MODE_MEASURE):
+        with open(os.path.join(args.ckpt, "args.json")) as f:
+            args_data = json.load(f)
+        for key, value in args_data.items():
+            if value is not None and hasattr(config, key):
+                setattr(config, key, value)
+        config.output_dir = args.ckpt
+
+    for key, value in vars(args).items():
+        if args.mode == MODE_TRAIN and key not in NOT_MODE_TRAIN_OPTS and value is not None:
+            setattr(config, key, value)
+        elif args.mode == MODE_TRAIN_MEASURE and key not in NOT_MODE_TRAIN_MEASURE_OPTS and value is not None:
+            setattr(config, key, value)
+        elif args.mode == MODE_RESUME and key in MODE_RESUME_OPTS and value is not None:
+            setattr(config, key, value)
+        elif args.mode == MODE_SAMPLING and key in MODE_SAMPLING_OPTS and value is not None:
+            setattr(config, key, value)
+        elif args.mode == MODE_MEASURE and key in MODE_MEASURE_OPTS and value is not None:
+            setattr(config, key, value)
+        elif value is not None and key not in IGNORE_ARGS and key not in EXTRA_OPTS:
+            raise NotImplementedError(f"Argument: {key}={value} isn't used in mode: {args.mode}")
+    for key in EXTRA_OPTS:
+        if getattr(args, key, None) is not None:
+            setattr(config, key, getattr(args, key))
+
+    if isinstance(config.sample_ep, int) and config.sample_ep < 0:
+        config.sample_ep = None
+
+    # fclip → clip (baddiffusion.py:187-193)
+    config.clip = {"w": True, "o": False}.get(config.fclip)
+
+    # dataset-keyed LR / grad-accum policy (baddiffusion.py:195-217)
+    if config.dataset in (DatasetLoader.CIFAR10, DatasetLoader.MNIST, DatasetLoader.FAKE):
+        global_batch = config.batch_32
+        if config.learning_rate is None:
+            config.learning_rate = (
+                config.learning_rate_32_scratch if config.ckpt is None else DEFAULT_LEARNING_RATE_32
+            )
+    elif config.dataset in (DatasetLoader.CELEBA, DatasetLoader.CELEBA_HQ,
+                            DatasetLoader.LSUN_CHURCH, DatasetLoader.LSUN_BEDROOM):
+        global_batch = config.batch_256
+        if config.learning_rate is None:
+            config.learning_rate = (
+                config.learning_rate_256_scratch if config.ckpt is None else DEFAULT_LEARNING_RATE_256
+            )
+    else:
+        raise NotImplementedError(f"dataset {config.dataset!r}")
+    if global_batch % config.batch != 0:
+        raise ValueError(f"batch size {config.batch} should be divisible to {global_batch} for dataset {config.dataset}")
+    if global_batch < config.batch:
+        raise ValueError(f"batch size {config.batch} should be smaller or equal to {global_batch} for dataset {config.dataset}")
+    config.gradient_accumulation_steps = int(global_batch // config.batch)
+
+    if args.mode in (MODE_TRAIN, MODE_TRAIN_MEASURE):
+        config.output_dir = os.path.join(config.result, naming_fn(config))
+
+    Log.info(f"MODE: {config.mode}")
+    if config.mode in (MODE_TRAIN, MODE_TRAIN_MEASURE):
+        if not config.overwrite and os.path.isdir(config.output_dir):
+            raise ValueError(
+                f"Output directory: {config.output_dir} has already been created, "
+                "please set overwrite flag --overwrite or -o"
+            )
+        os.makedirs(config.output_dir, exist_ok=True)
+        with open(os.path.join(config.output_dir, "args.json"), "w") as f:
+            json.dump(vars(args), f, indent=2)
+        config.save_json(os.path.join(config.output_dir, "config.json"))
+    elif config.mode == MODE_SAMPLING:
+        config.save_json(os.path.join(config.output_dir, "sampling.json"))
+    elif config.mode == MODE_MEASURE:
+        config.save_json(os.path.join(config.output_dir, "measure.json"))
+
+    print(f"Argument Final: {dataclasses.asdict(config)}")
+    return config

@@ -46,7 +46,12 @@ def sample_loop(
     """
     n = int(state.timesteps.shape[0])
     n_steps = n - start_from
-    sample = init * jnp.asarray(scheduler.init_noise_sigma, init.dtype)
+    init_sigma = getattr(scheduler, "init_noise_sigma", 1.0)
+    if callable(init_sigma):
+        init_sigma = init_sigma(state)
+    sample = init * jnp.asarray(init_sigma, init.dtype)
+    if hasattr(scheduler, "begin_sampling"):
+        state = scheduler.begin_sampling(state, sample)
 
     def step_once(sample, st, k, i):
         t = st.timesteps[i]
@@ -105,22 +110,24 @@ def sample_sde_ve(
     Langevin corrector steps then one predictor step."""
     n = int(state.timesteps.shape[0])
     correct_steps = scheduler.config.correct_steps
-    sample = init * state.sigmas[0]
+    sample = init * jnp.asarray(scheduler.init_noise_sigma, init.dtype)
 
+    # the score model is conditioned on sigma_t, not t
+    # (reference pipeline_score_sde_ve.py:85-96)
     def corrector(carry, _):
         sample, st, k, i = carry
-        t = st.timesteps[i]
+        sigma_t = st.sigmas[i]
         k, sub = jax.random.split(k)
-        score = apply_fn(params, sample, jnp.broadcast_to(t, (sample.shape[0],)))
+        score = apply_fn(params, sample, jnp.broadcast_to(sigma_t, (sample.shape[0],)))
         sample = scheduler.step_correct(st, score, sample, sub)
         return (sample, st, k, i), None
 
     def body(carry, i):
         sample, st, k = carry
         (sample, st, k, _), _ = jax.lax.scan(corrector, (sample, st, k, i), None, length=correct_steps)
-        t = st.timesteps[i]
+        sigma_t = st.sigmas[i]
         k, sub = jax.random.split(k)
-        score = apply_fn(params, sample, jnp.broadcast_to(t, (sample.shape[0],)))
+        score = apply_fn(params, sample, jnp.broadcast_to(sigma_t, (sample.shape[0],)))
         st, sample, sample_mean = scheduler.step_pred(st, score, i, sample, sub)
         frame = sample if capture_every else None
         return (sample, st, k), (frame, sample_mean)

@@ -1,0 +1,121 @@
+"""Metrics: MSE/SSIM properties + FID machinery (Fréchet distance closed-form
+oracles, directory pipeline, proxy-extractor determinism, InceptionV3 shapes)."""
+
+import numpy as np
+import pytest
+
+from baddiffusion_tpu.metrics import compute_statistics, fid, frechet_distance, get_activations, mse, ssim
+
+
+class TestImageMetrics:
+    def test_mse(self):
+        a = np.zeros((2, 8, 8, 3), np.float32)
+        b = np.full((2, 8, 8, 3), 0.5, np.float32)
+        assert float(mse(a, b)) == pytest.approx(0.25)
+
+    def test_ssim_identity(self):
+        rng = np.random.RandomState(0)
+        x = rng.rand(2, 32, 32, 3).astype(np.float32)
+        assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_ssim_decreases_with_noise(self):
+        rng = np.random.RandomState(0)
+        x = rng.rand(2, 32, 32, 3).astype(np.float32)
+        y1 = np.clip(x + 0.05 * rng.randn(*x.shape), 0, 1).astype(np.float32)
+        y2 = np.clip(x + 0.3 * rng.randn(*x.shape), 0, 1).astype(np.float32)
+        s1, s2 = float(ssim(x, y1)), float(ssim(x, y2))
+        assert 1.0 > s1 > s2 > 0.0
+
+    def test_ssim_matches_closed_form_on_constant_shift(self):
+        # for constant images, ssim = (2*mu_a*mu_b + c1)/(mu_a^2 + mu_b^2 + c1)
+        a = np.full((1, 16, 16, 1), 0.4, np.float32)
+        b = np.full((1, 16, 16, 1), 0.6, np.float32)
+        c1 = 0.01**2
+        expected = (2 * 0.4 * 0.6 + c1) / (0.4**2 + 0.6**2 + c1)
+        assert float(ssim(a, b)) == pytest.approx(expected, rel=1e-4)
+
+
+class TestFID:
+    def test_frechet_identical(self):
+        rng = np.random.RandomState(0)
+        act = rng.randn(500, 16).astype(np.float64)
+        mu, sig = compute_statistics(act)
+        assert frechet_distance(mu, sig, mu, sig) == pytest.approx(0.0, abs=1e-4)
+
+    def test_frechet_mean_shift_closed_form(self):
+        # identical covariances, shifted means: d^2 = |mu1-mu2|^2
+        rng = np.random.RandomState(0)
+        act = rng.randn(2000, 8)
+        mu, sig = compute_statistics(act)
+        shift = np.full(8, 0.5)
+        d = frechet_distance(mu, sig, mu + shift, sig)
+        assert d == pytest.approx(float(shift @ shift), rel=1e-3)
+
+    def test_frechet_diagonal_gaussians(self):
+        # d^2 = sum((s1-s2)^2) for zero-mean diagonal gaussians
+        s1, s2 = np.array([1.0, 2.0]), np.array([1.5, 1.0])
+        d = frechet_distance(np.zeros(2), np.diag(s1**2), np.zeros(2), np.diag(s2**2))
+        assert d == pytest.approx(float(((s1 - s2) ** 2).sum()), rel=1e-6)
+
+    def test_fid_pipeline_dirs(self, tmp_path):
+        from baddiffusion_tpu.utils.image import save_images
+
+        rng = np.random.RandomState(0)
+        a = rng.rand(32, 16, 16, 3).astype(np.float32)
+        b = np.clip(a + 0.3 * rng.randn(*a.shape), 0, 1).astype(np.float32)
+        save_images(a, str(tmp_path / "a"))
+        save_images(a, str(tmp_path / "a2"))
+        save_images(b, str(tmp_path / "b"))
+        d_same = fid([str(tmp_path / "a"), str(tmp_path / "a2")], batch_size=16)
+        d_diff = fid([str(tmp_path / "a"), str(tmp_path / "b")], batch_size=16)
+        assert d_diff > d_same
+
+    def test_proxy_extractor_deterministic(self):
+        rng = np.random.RandomState(1)
+        imgs = rng.rand(4, 16, 16, 3).astype(np.float32)
+        a1 = get_activations(imgs, batch_size=4)
+        a2 = get_activations(imgs, batch_size=2)  # padding path
+        np.testing.assert_allclose(a1, a2, atol=1e-5)
+        assert a1.shape == (4, 2048)
+
+    def test_fid_cli(self, tmp_path, capsys):
+        from baddiffusion_tpu.metrics.fid import main
+        from baddiffusion_tpu.utils.image import save_images
+
+        rng = np.random.RandomState(0)
+        save_images(rng.rand(8, 16, 16, 3).astype(np.float32), str(tmp_path / "x"))
+        save_images(rng.rand(8, 16, 16, 3).astype(np.float32), str(tmp_path / "y"))
+        log = tmp_path / "fid.log"
+        val = main([str(tmp_path / "x"), str(tmp_path / "y"), "--batch-size", "8", "--log", str(log)])
+        assert np.isfinite(val)
+        assert log.exists() and "FID" in log.read_text()
+
+
+class TestInceptionArch:
+    def test_shapes_and_determinism(self):
+        import jax
+        import jax.numpy as jnp
+
+        from baddiffusion_tpu.models.inception import FIDInceptionV3
+
+        model = FIDInceptionV3()
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        # stem + 11 mixed blocks present
+        names = set(params.keys())
+        assert {"Conv2d_1a_3x3", "Mixed_5b", "Mixed_6e", "Mixed_7c"} <= names
+        y = model.apply({"params": params}, jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3)))
+        assert y.shape == (2, 2048)
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_grayscale_input(self):
+        import jax
+        import jax.numpy as jnp
+
+        from baddiffusion_tpu.models.inception import FIDInceptionV3
+
+        model = FIDInceptionV3()
+        x = jnp.zeros((1, 28, 28, 1), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        y = model.apply({"params": params}, x)
+        assert y.shape == (1, 2048)

@@ -119,5 +119,14 @@ def install():
 
     # reference util.py imports comet_ml (fully unused in the oracle paths)
     comet = types.ModuleType("comet_ml")
+    comet.__spec__ = importlib.machinery.ModuleSpec("comet_ml", None)
     comet.Experiment = comet.ExistingExperiment = _unavailable_dataset
     sys.modules.setdefault("comet_ml", comet)
+    # give every stub module a spec so importlib.util.find_spec probes
+    # (e.g. diffusers' import machinery) don't explode
+    for name, mod in [
+        ("torchvision.transforms", transforms_mod),
+        ("torchvision.datasets", datasets_mod),
+        ("torchvision.utils", utils_mod),
+    ]:
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
