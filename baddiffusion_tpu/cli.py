@@ -75,6 +75,9 @@ def get_data_loader(config: TrainingConfig) -> DatasetLoader:
 
 def init_model(config: TrainingConfig, dsl: DatasetLoader):
     """(model, params, scheduler, get_pipeline) for the configured ckpt."""
+    import jax.numpy as jnp
+
+    dtype = jnp.float32 if config.mixed_precision == "no" else jnp.bfloat16
     if config.ckpt is None:
         return factory.get_model_sched(
             image_size=dsl.image_size,
@@ -82,9 +85,10 @@ def init_model(config: TrainingConfig, dsl: DatasetLoader):
             noise_sched_type=config.sched,
             clip_sample=config.clip,
             rng_seed=config.seed,
+            dtype=dtype,
         )
     return factory.get_pretrained(
-        config.ckpt, clip_sample=config.clip, noise_sched_type=config.sched
+        config.ckpt, clip_sample=config.clip, noise_sched_type=config.sched, dtype=dtype
     )
 
 

@@ -223,6 +223,26 @@ def get_pretrained(
 
     clip = DiffuserModelSched.CLIP_SAMPLE_DEFAULT if clip_sample is None else clip_sample
     path = resolve_checkpoint_path(ckpt)
+
+    # LDM checkpoints (vqvae + unet + scheduler) route through LDMPipeline
+    index_path = os.path.join(path, "model_index.json")
+    if os.path.exists(index_path):
+        import json
+
+        with open(index_path) as f:
+            index = json.load(f)
+        if index.get("_class_name") == "LDMPipeline" or "vqvae" in index:
+            from baddiffusion_tpu.pipelines.ldm import LDMPipeline
+
+            pipe = LDMPipeline.from_pretrained(path, clip_sample=clip, dtype=dtype)
+
+            def get_ldm_pipeline(params, scheduler):
+                return LDMPipeline(
+                    pipe.vqvae, pipe.vqvae_params, pipe.unet, params, scheduler, clip_sample=clip
+                )
+
+            return pipe.unet, pipe.params, pipe.scheduler, get_ldm_pipeline
+
     model, params = load_unet(path, subfolder="unet", dtype=dtype)
 
     if noise_sched_type is None:

@@ -71,7 +71,7 @@ def torch_to_flax_params(state_dict: Dict[str, np.ndarray]) -> Dict[str, Any]:
             if value.ndim == 4:  # conv OIHW -> HWIO
                 leaf, value = "kernel", value.transpose(2, 3, 1, 0)
             elif value.ndim == 2:
-                if modules and modules[-1] == "class_embedding":
+                if modules and modules[-1] in ("class_embedding", "embedding"):
                     leaf = "embedding"  # nn.Embed keeps [num, dim]
                 else:
                     leaf, value = "kernel", value.transpose(1, 0)

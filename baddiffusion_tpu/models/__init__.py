@@ -14,6 +14,7 @@ from baddiffusion_tpu.models.resnet import (
     Upsample2D,
 )
 from baddiffusion_tpu.models.unet2d import DEFAULT_SCRATCH_CONFIG, UNet2DConfig, UNet2DModel
+from baddiffusion_tpu.models.vae import AutoencoderKL, AutoencoderKLConfig, Decoder, Encoder, VectorQuantizer, VQModel, VQModelConfig
 
 __all__ = [
     "AttentionBlock",
@@ -30,4 +31,11 @@ __all__ = [
     "DEFAULT_SCRATCH_CONFIG",
     "UNet2DConfig",
     "UNet2DModel",
+    "AutoencoderKL",
+    "AutoencoderKLConfig",
+    "Decoder",
+    "Encoder",
+    "VectorQuantizer",
+    "VQModel",
+    "VQModelConfig",
 ]

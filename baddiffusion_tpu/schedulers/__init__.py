@@ -15,6 +15,7 @@ from baddiffusion_tpu.schedulers.pndm import PNDMConfig, PNDMScheduler, PNDMStat
 from baddiffusion_tpu.schedulers.heun import HeunConfig, HeunDiscreteScheduler, HeunState
 from baddiffusion_tpu.schedulers.lms import LMSConfig, LMSDiscreteScheduler, LMSState
 from baddiffusion_tpu.schedulers.sde_ve import ScoreSdeVeConfig, ScoreSdeVeScheduler, ScoreSdeVeState
+from baddiffusion_tpu.schedulers.karras_ve import KarrasVeConfig, KarrasVeScheduler, KarrasVeState, sample_karras_ve
 
 __all__ = [
     "ConfigurableScheduler",
@@ -50,4 +51,8 @@ __all__ = [
     "ScoreSdeVeConfig",
     "ScoreSdeVeScheduler",
     "ScoreSdeVeState",
+    "KarrasVeConfig",
+    "KarrasVeScheduler",
+    "KarrasVeState",
+    "sample_karras_ve",
 ]

@@ -4,6 +4,7 @@ from baddiffusion_tpu.training.checkpoint import (
     load_trainer_state,
     save_trainer_state,
 )
+from baddiffusion_tpu.training.ema import EMAState, ema_decay, ema_init, ema_update
 from baddiffusion_tpu.training.optim import cosine_schedule_with_warmup, make_optimizer
 from baddiffusion_tpu.training.train import TrainState, create_train_state, make_train_step
 from baddiffusion_tpu.training.trainer import sample_grids, train_loop
@@ -13,6 +14,10 @@ __all__ = [
     "has_trainer_state",
     "load_trainer_state",
     "save_trainer_state",
+    "EMAState",
+    "ema_decay",
+    "ema_init",
+    "ema_update",
     "cosine_schedule_with_warmup",
     "make_optimizer",
     "TrainState",

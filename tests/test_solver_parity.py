@@ -236,3 +236,44 @@ class TestSdeVeParity:
                 ref_out.prev_sample_mean.numpy().transpose(0, 2, 3, 1),
                 atol=1e-2, rtol=1e-3,
             )
+
+
+@pytest.mark.reference
+class TestKarrasVeParity:
+    def test_step_functions(self):
+        import torch
+
+        from baddiffusion_tpu.schedulers import KarrasVeConfig, KarrasVeScheduler
+        from tests.reference_utils import import_reference_diffusers
+
+        diffusers = import_reference_diffusers()
+        ref = diffusers.KarrasVeScheduler()
+        n = 20
+        ref.set_timesteps(n)
+        ours = KarrasVeScheduler(KarrasVeConfig())
+        state = ours.set_timesteps(None, n)
+        np.testing.assert_allclose(np.asarray(state.schedule), ref.schedule.numpy(), rtol=1e-5)
+
+        rng = np.random.RandomState(0)
+        sample_hat = rng.randn(*SHAPE).astype(np.float32)
+        mo = (0.01 * rng.randn(*SHAPE)).astype(np.float32)
+        sigma_hat, sigma_prev = float(ref.schedule[3]), float(ref.schedule[4])
+        ref_out = ref.step(
+            torch.from_numpy(mo.transpose(0, 3, 1, 2)), sigma_hat, sigma_prev,
+            torch.from_numpy(sample_hat.transpose(0, 3, 1, 2)),
+        )
+        prev, deriv, _ = ours.step(state, jnp.asarray(mo), sigma_hat, sigma_prev, jnp.asarray(sample_hat))
+        np.testing.assert_allclose(
+            np.asarray(prev), ref_out.prev_sample.numpy().transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4
+        )
+        ref_corr = ref.step_correct(
+            torch.from_numpy(mo.transpose(0, 3, 1, 2)), sigma_hat, sigma_prev,
+            torch.from_numpy(sample_hat.transpose(0, 3, 1, 2)),
+            ref_out.prev_sample, ref_out.derivative,
+        )
+        corr, _, _ = ours.step_correct(
+            state, jnp.asarray(mo), sigma_hat, sigma_prev, jnp.asarray(sample_hat), prev, deriv
+        )
+        np.testing.assert_allclose(
+            np.asarray(corr), ref_corr.prev_sample.numpy().transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4
+        )

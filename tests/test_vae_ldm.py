@@ -1,0 +1,140 @@
+"""VQ-VAE + LDM pipeline: torch-parity for the VQModel forward and an
+end-to-end latent-diffusion sampling test with the BadDiffusion hooks."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from baddiffusion_tpu.io import torch_to_flax_params
+from baddiffusion_tpu.models import UNet2DConfig, UNet2DModel, VQModel, VQModelConfig
+from baddiffusion_tpu.pipelines import LDMPipeline
+from baddiffusion_tpu.schedulers import DDIMConfig, DDIMScheduler
+
+TINY_VQ = VQModelConfig(
+    block_out_channels=(8, 16),
+    down_block_types=("DownEncoderBlock2D", "DownEncoderBlock2D"),
+    up_block_types=("UpDecoderBlock2D", "UpDecoderBlock2D"),
+    layers_per_block=1,
+    latent_channels=3,
+    num_vq_embeddings=32,
+    norm_num_groups=4,
+    sample_size=16,
+)
+
+TINY_UNET = UNet2DConfig(
+    sample_size=8,  # latent resolution after 1 downsample
+    in_channels=3,
+    out_channels=3,
+    layers_per_block=1,
+    block_out_channels=(8, 16),
+    down_block_types=("DownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "UpBlock2D"),
+    norm_num_groups=4,
+)
+
+
+def make_ldm():
+    vq = VQModel(TINY_VQ)
+    vq_params = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]
+    unet = UNet2DModel(TINY_UNET)
+    unet_params = unet.init_params(jax.random.PRNGKey(1), sample_size=8)
+    sched = DDIMScheduler(DDIMConfig(beta_schedule="scaled_linear"))
+    return LDMPipeline(vq, vq_params, unet, unet_params, sched)
+
+
+class TestVQModel:
+    def test_encode_decode_shapes(self):
+        vq = VQModel(TINY_VQ)
+        x = jnp.zeros((2, 16, 16, 3))
+        params = vq.init(jax.random.PRNGKey(0), x)["params"]
+        z = vq.apply({"params": params}, x, method=vq.encode)
+        assert z.shape == (2, 8, 8, 3)  # one stride-2 downsample
+        y = vq.apply({"params": params}, z, method=vq.decode)
+        assert y.shape == (2, 16, 16, 3)
+
+    def test_quantizer_snaps_to_codebook(self):
+        from baddiffusion_tpu.models import VectorQuantizer
+
+        q = VectorQuantizer(n_e=8, vq_embed_dim=4)
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 3, 4))
+        params = q.init(jax.random.PRNGKey(1), z)["params"]
+        z_q, idx = q.apply({"params": params}, z)
+        codebook = params["embedding"]["embedding"]
+        # every output vector must be an exact codebook row
+        flat = np.asarray(z_q).reshape(-1, 4)
+        cb = np.asarray(codebook)
+        for v in flat:
+            assert np.min(np.linalg.norm(cb - v, axis=1)) < 1e-6
+
+
+@pytest.mark.reference
+class TestVQTorchParity:
+    def test_forward_parity(self):
+        import torch
+
+        from tests.reference_utils import import_reference_diffusers
+
+        diffusers = import_reference_diffusers()
+        torch.manual_seed(0)
+        tm = diffusers.VQModel(
+            block_out_channels=TINY_VQ.block_out_channels,
+            down_block_types=TINY_VQ.down_block_types,
+            up_block_types=TINY_VQ.up_block_types,
+            layers_per_block=TINY_VQ.layers_per_block,
+            latent_channels=TINY_VQ.latent_channels,
+            num_vq_embeddings=TINY_VQ.num_vq_embeddings,
+            norm_num_groups=TINY_VQ.norm_num_groups,
+            sample_size=TINY_VQ.sample_size,
+        )
+        tm.eval()
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 16, 16, 3).astype(np.float32)
+        with torch.no_grad():
+            xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+            z_ref = tm.encode(xt).latents
+            y_ref = tm.decode(z_ref).sample.numpy().transpose(0, 2, 3, 1)
+            z_ref = z_ref.numpy().transpose(0, 2, 3, 1)
+
+        params = torch_to_flax_params({k: v.numpy() for k, v in tm.state_dict().items()})
+        vq = VQModel(TINY_VQ)
+        z = vq.apply({"params": params}, jnp.asarray(x), method=vq.encode)
+        np.testing.assert_allclose(np.asarray(z), z_ref, atol=2e-4, rtol=1e-3)
+        y = vq.apply({"params": params}, z, method=vq.decode)
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-3, rtol=1e-2)
+
+
+class TestLDMPipeline:
+    def test_sampling_end_to_end(self):
+        pipe = make_ldm()
+        out = pipe(batch_size=2, key=jax.random.PRNGKey(0), num_inference_steps=5)
+        assert out.images.shape == (2, 16, 16, 3)
+        assert out.images.min() >= 0.0 and out.images.max() <= 1.0
+
+    def test_init_latents_hook(self):
+        pipe = make_ldm()
+        a = pipe(init=np.zeros((1, 8, 8, 3), np.float32), num_inference_steps=5).images
+        b = pipe(init=np.ones((1, 8, 8, 3), np.float32), num_inference_steps=5).images
+        assert np.abs(a - b).max() > 1e-5
+
+    def test_encode_decode_roundtrip_shapes(self):
+        pipe = make_ldm()
+        img = jnp.zeros((2, 16, 16, 3))
+        z = pipe.encode(img, scaling_factor=0.18215)
+        assert z.shape == (2, 8, 8, 3)
+        y = pipe.decode(z / 0.18215)
+        assert y.shape == (2, 16, 16, 3)
+
+    def test_save_load_roundtrip(self, tmp_path):
+        import os
+
+        pipe = make_ldm()
+        pipe.save_pretrained(str(tmp_path))
+        assert set(os.listdir(tmp_path)) >= {"model_index.json", "unet", "scheduler", "vqvae"}
+        loaded = LDMPipeline.from_pretrained(str(tmp_path))
+        k = jax.random.PRNGKey(5)
+        a = pipe(batch_size=1, key=k, num_inference_steps=3).images
+        b = loaded(batch_size=1, key=k, num_inference_steps=3).images
+        np.testing.assert_allclose(a, b, atol=1e-5)
