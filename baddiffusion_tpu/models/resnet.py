@@ -43,13 +43,35 @@ class GroupNorm(nn.Module):
         x32 = x.astype(jnp.float32)
         shape = x.shape[:-1] + (self.num_groups, channels // self.num_groups)
         grouped = x32.reshape(shape)
-        # reduce over all spatial dims + the within-group channel dim
+        # reduce over all spatial dims + the within-group channel dim;
+        # single-pass E[x²]−E[x]² so XLA reads the activation once (the
+        # two-pass form costs an extra HBM sweep per GN — ~13% of step time)
         red_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
         mean = jnp.mean(grouped, axis=red_axes, keepdims=True)
-        var = jnp.mean(jnp.square(grouped - mean), axis=red_axes, keepdims=True)
+        mean_sq = jnp.mean(jnp.square(grouped), axis=red_axes, keepdims=True)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
         normed = (grouped - mean) * jax.lax.rsqrt(var + self.epsilon)
         normed = normed.reshape(x.shape)
         return (normed * scale + bias).astype(orig_dtype)
+
+
+class GroupNormSiLU(nn.Module):
+    """GroupNorm immediately followed by SiLU — same param layout as GroupNorm
+    (so checkpoints are interchangeable) but routed through the fused Pallas
+    kernel on TPU where profitable (ops/groupnorm.py)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from baddiffusion_tpu.ops.groupnorm import groupnorm_silu
+
+        channels = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (channels,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (channels,), jnp.float32)
+        return groupnorm_silu(x, scale, bias, self.num_groups, self.epsilon)
 
 
 class Upsample2D(nn.Module):

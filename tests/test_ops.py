@@ -1,0 +1,48 @@
+"""Pallas ops: fused GroupNorm+SiLU correctness vs the jnp reference.
+
+On the CPU test backend the dispatcher always takes the reference path; the
+Pallas path itself is exercised on TPU (see ops/groupnorm.py for measured
+numbers). Here we verify the reference math and the dispatch contract.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from baddiffusion_tpu.models.resnet import GroupNorm
+from baddiffusion_tpu.ops import groupnorm_silu, groupnorm_silu_reference
+
+
+def test_reference_matches_groupnorm_module():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 8, 8, 32).astype(np.float32))
+    scale = jnp.asarray(rng.randn(32).astype(np.float32))
+    bias = jnp.asarray(rng.randn(32).astype(np.float32))
+
+    gn = GroupNorm(num_groups=8)
+    params = {"scale": scale, "bias": bias}
+    expected = jax.nn.silu(gn.apply({"params": params}, x))
+    got = groupnorm_silu_reference(x, scale, bias, num_groups=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+
+def test_dispatch_cpu_fallback():
+    # on CPU the dispatcher must use the reference path and produce identical values
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 16, 16, 32).astype(np.float32))
+    scale = jnp.ones(32)
+    bias = jnp.zeros(32)
+    a = groupnorm_silu(x, scale, bias, num_groups=8)
+    b = groupnorm_silu_reference(x, scale, bias, num_groups=8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_grad_matches_reference():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 16, 16, 16).astype(np.float32))
+    scale = jnp.asarray(rng.rand(16).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(16).astype(np.float32))
+
+    ga = jax.grad(lambda a: groupnorm_silu(a, scale, bias, 4).sum())(x)
+    gb = jax.grad(lambda a: groupnorm_silu_reference(a, scale, bias, 4).sum())(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
