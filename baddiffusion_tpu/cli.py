@@ -116,6 +116,9 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
         sstate.schedule.alphas,
         sstate.schedule.alphas_cumprod,
         grad_accum=config.gradient_accumulation_steps,
+        # rematerialize the UNet at 256px: activations don't fit otherwise
+        # (CelebA-HQ recipe, micro-batch 4 with grad-accum to 64)
+        use_remat=dsl.image_size >= 256,
     )
 
     def make_pipeline(st):

@@ -36,8 +36,11 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if shape is None:
         shape = (len(devices),) + (1,) * (len(axis_names) - 1)
-    arr = np.asarray(devices).reshape(shape)
-    return Mesh(arr, axis_names=tuple(axis_names))
+    # object array built explicitly: np.asarray may invoke Device.__array__
+    arr = np.empty(len(devices), dtype=object)
+    for i, d in enumerate(devices):
+        arr[i] = d
+    return Mesh(arr.reshape(shape), axis_names=tuple(axis_names))
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4, axis: str = DATA_AXIS) -> NamedSharding:
