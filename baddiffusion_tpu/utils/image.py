@@ -79,15 +79,25 @@ def save_image_grid(images: np.ndarray, path: str, rows: int = None, cols: int =
 
 def save_images(images: np.ndarray, file_dir: str, file_name: str = "", start_cnt: int = 0) -> None:
     """Stream-save a batch of [0,1] NHWC images as ``{file_name}{i}.png``
-    (reference model.py:496-502 ``save_imgs``)."""
-    from PIL import Image
-
+    (reference model.py:496-502 ``save_imgs``). Uses the threaded native PNG
+    codec when available (baddiffusion_tpu/native), PIL otherwise."""
     os.makedirs(file_dir, exist_ok=True)
     arr = to_uint8(images)
-    if arr.ndim == 4 and arr.shape[-1] == 1:
-        arr = arr[..., 0]
-    for i in range(arr.shape[0]):
-        Image.fromarray(arr[i]).save(os.path.join(file_dir, f"{file_name}{start_cnt + i}.png"))
+    paths = [os.path.join(file_dir, f"{file_name}{start_cnt + i}.png") for i in range(arr.shape[0])]
+
+    try:
+        from baddiffusion_tpu.native import encode_png_batch
+
+        if encode_png_batch(arr, paths):
+            return
+    except Exception:
+        pass
+
+    from PIL import Image
+
+    flat = arr[..., 0] if arr.ndim == 4 and arr.shape[-1] == 1 else arr
+    for i in range(flat.shape[0]):
+        Image.fromarray(flat[i]).save(paths[i])
 
 
 IMAGE_EXTENSIONS = {"bmp", "jpg", "jpeg", "pgm", "png", "ppm", "tif", "tiff", "webp"}
@@ -104,11 +114,30 @@ def list_image_files(path: str) -> List[str]:
 
 def load_image_dir(path: str, size: int = None) -> np.ndarray:
     """Read a directory of images back into one [0,1] float NHWC array
-    (reference `ImagePathDataset`, dataset.py:663-696)."""
+    (reference `ImagePathDataset` with parallel decode, dataset.py:663-696).
+    Same-geometry PNG dirs decode through the threaded native codec."""
+    files = list_image_files(path)
+    if not files:
+        raise FileNotFoundError(f"no images found under {path}")
+
+    if size is None and all(f.endswith(".png") for f in files):
+        try:
+            from baddiffusion_tpu.native.pngio import decode_png_batch, png_header
+
+            header = png_header(files[0])
+            if header is not None:
+                h, w, c = header
+                c = 1 if c in (1, 2) else 3
+                batch = decode_png_batch(files, h, w, c)
+                if batch is not None:
+                    return batch.astype(np.float32) / 255.0
+        except Exception:
+            pass
+
     from PIL import Image
 
     out = []
-    for f in list_image_files(path):
+    for f in files:
         img = Image.open(f)
         if size is not None:
             img = img.resize((size, size))
@@ -116,8 +145,6 @@ def load_image_dir(path: str, size: int = None) -> np.ndarray:
         if arr.ndim == 2:
             arr = arr[..., None]
         out.append(arr)
-    if not out:
-        raise FileNotFoundError(f"no images found under {path}")
     return np.stack(out)
 
 
