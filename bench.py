@@ -70,8 +70,21 @@ def main():
         state, metrics = step(state, img, clean, jax.random.PRNGKey(100 + i))
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
-
     samples_per_sec = BATCH * MEASURE_STEPS / dt
+
+    # secondary: 1000-step DDPM sampling imgs/sec (the measure-path workload),
+    # estimated from steady-state forward throughput on a 64-image batch
+    fwd = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))
+    x = jax.random.normal(jax.random.PRNGKey(7), (64, 32, 32, 3))
+    t = jnp.full((64,), 500, jnp.int32)
+    jax.block_until_ready(fwd(state.params, x, t))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        out = fwd(state.params, x, t)
+    jax.block_until_ready(out)
+    fwd_per_sec = 64 * 20 / (time.perf_counter() - t0)
+    sampling_imgs_per_sec = fwd_per_sec / 1000.0
+
     print(
         json.dumps(
             {
@@ -79,6 +92,7 @@ def main():
                 "value": round(samples_per_sec, 1),
                 "unit": "samples/sec",
                 "vs_baseline": round(samples_per_sec / A100_TRAIN_SAMPLES_PER_SEC_EST, 2),
+                "ddpm_1000step_sampling_imgs_per_sec": round(sampling_imgs_per_sec, 2),
             }
         )
     )

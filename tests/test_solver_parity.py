@@ -277,3 +277,49 @@ class TestKarrasVeParity:
         np.testing.assert_allclose(
             np.asarray(corr), ref_corr.prev_sample.numpy().transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4
         )
+
+
+@pytest.mark.reference
+class TestDDPMFullChainParity:
+    def test_ancestral_chain_with_injected_noise(self):
+        """Run the reference DDPMScheduler chain with torch RNG, capture its
+        variance noises, and replay OUR chain with the same noises — the full
+        ancestral recursion must match step-for-step."""
+        import torch
+
+        from baddiffusion_tpu.schedulers import DDPMConfig, DDPMScheduler
+        from tests.reference_utils import import_reference_diffusers
+
+        diffusers = import_reference_diffusers()
+        n = 20
+        ref = diffusers.DDPMScheduler(num_train_timesteps=1000)
+        ref.set_timesteps(n)
+        ours = DDPMScheduler(DDPMConfig())
+        state = ours.set_timesteps(ours.create_state(), n)
+
+        rng = np.random.RandomState(0)
+        sample_t = torch.from_numpy(rng.randn(*SHAPE).astype(np.float32).transpose(0, 3, 1, 2))
+        sample_j = jnp.asarray(sample_t.numpy().transpose(0, 2, 3, 1))
+
+        gen = torch.manual_seed(1234)
+        for i, t in enumerate(ref.timesteps):
+            eps = fake_model_np(sample_t.numpy().transpose(0, 2, 3, 1), float(t))
+            eps_t = torch.from_numpy(eps.transpose(0, 3, 1, 2))
+            # capture the exact noise torch will draw by cloning the generator state
+            gstate = gen.get_state()
+            noise_t = torch.empty(sample_t.shape).normal_(generator=gen)
+            gen.set_state(gstate)
+            sample_t = ref.step(eps_t, t, sample_t, generator=gen).prev_sample
+
+            # our mean path + the captured noise
+            _, mean_j, _ = ours.step(state, jnp.asarray(eps), jnp.asarray(i), sample_j, None)
+            sigma = jnp.sqrt(ours.variance(state, jnp.asarray(int(t))))
+            noise_j = jnp.asarray(noise_t.numpy().transpose(0, 2, 3, 1))
+            sample_j = jnp.where(int(t) > 0, mean_j + sigma * noise_j, mean_j)
+
+            np.testing.assert_allclose(
+                np.asarray(sample_j),
+                sample_t.numpy().transpose(0, 2, 3, 1),
+                atol=1e-3, rtol=1e-3,
+                err_msg=f"diverged at step {i} (t={int(t)})",
+            )
