@@ -81,6 +81,14 @@ class DiffusionPipeline:
         scheduler = load_scheduler(path, subfolder="scheduler")
         return cls(unet, params, scheduler, hf_class_name=index.get("_class_name", "DDPMPipeline"))
 
+    # -- pixel/latent API (identity for pixel-space pipelines; the uniform
+    # encode/decode surface the reference adds, pipeline_ddpm.py:40-44) -------
+    def encode(self, image, *args, **kwargs):
+        return image
+
+    def decode(self, latents, *args, **kwargs):
+        return latents
+
     # -- sampling ---------------------------------------------------------------
     def _sample_fn(self, batch_size: int, num_inference_steps: int, start_from: int, capture_every):
         cache_key = (batch_size, num_inference_steps, start_from, capture_every)

@@ -33,6 +33,69 @@ def cosine_schedule_with_warmup(
     return schedule
 
 
+def linear_schedule_with_warmup(base_lr: float, num_warmup_steps: int, num_training_steps: int) -> optax.Schedule:
+    """reference optimization.py:75-107 (linear decay to 0 after warmup)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warmup = step / jnp.maximum(1.0, num_warmup_steps)
+        decay = jnp.maximum(
+            0.0, (num_training_steps - step) / jnp.maximum(1.0, num_training_steps - num_warmup_steps)
+        )
+        return base_lr * jnp.where(step < num_warmup_steps, warmup, decay)
+
+    return schedule
+
+
+def constant_schedule_with_warmup(base_lr: float, num_warmup_steps: int) -> optax.Schedule:
+    """reference optimization.py:55-73."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        return base_lr * jnp.where(step < num_warmup_steps, step / jnp.maximum(1.0, num_warmup_steps), 1.0)
+
+    return schedule
+
+
+def polynomial_schedule_with_warmup(
+    base_lr: float,
+    num_warmup_steps: int,
+    num_training_steps: int,
+    lr_end: float = 1e-7,
+    power: float = 1.0,
+) -> optax.Schedule:
+    """reference optimization.py:236-300 (poly decay from lr to lr_end)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warmup = base_lr * step / jnp.maximum(1.0, num_warmup_steps)
+        lr_range = base_lr - lr_end
+        remaining = 1.0 - (step - num_warmup_steps) / jnp.maximum(1.0, num_training_steps - num_warmup_steps)
+        decay = lr_range * jnp.maximum(remaining, 0.0) ** power + lr_end
+        return jnp.where(step < num_warmup_steps, warmup, jnp.where(step > num_training_steps, lr_end, decay))
+
+    return schedule
+
+
+def cosine_with_restarts_schedule_with_warmup(
+    base_lr: float, num_warmup_steps: int, num_training_steps: int, num_cycles: int = 1
+) -> optax.Schedule:
+    """reference optimization.py:144-180 (hard restarts)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warmup = step / jnp.maximum(1.0, num_warmup_steps)
+        progress = (step - num_warmup_steps) / jnp.maximum(1.0, num_training_steps - num_warmup_steps)
+        cosine = jnp.where(
+            progress >= 1.0,
+            0.0,
+            jnp.maximum(0.0, 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.mod(num_cycles * progress, 1.0)))),
+        )
+        return base_lr * jnp.where(step < num_warmup_steps, warmup, cosine)
+
+    return schedule
+
+
 def make_optimizer(
     lr: float,
     num_warmup_steps: int = 500,
@@ -42,6 +105,14 @@ def make_optimizer(
 ) -> optax.GradientTransformation:
     if schedule == "cosine":
         lr_schedule = cosine_schedule_with_warmup(lr, num_warmup_steps, num_training_steps)
+    elif schedule == "linear":
+        lr_schedule = linear_schedule_with_warmup(lr, num_warmup_steps, num_training_steps)
+    elif schedule == "constant_with_warmup":
+        lr_schedule = constant_schedule_with_warmup(lr, num_warmup_steps)
+    elif schedule == "polynomial":
+        lr_schedule = polynomial_schedule_with_warmup(lr, num_warmup_steps, num_training_steps)
+    elif schedule == "cosine_with_restarts":
+        lr_schedule = cosine_with_restarts_schedule_with_warmup(lr, num_warmup_steps, num_training_steps)
     elif schedule == "constant":
         lr_schedule = lambda step: lr
     else:

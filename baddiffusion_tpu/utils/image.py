@@ -148,6 +148,25 @@ def load_image_dir(path: str, size: int = None) -> np.ndarray:
     return np.stack(out)
 
 
+def numpy_to_pil(images: np.ndarray):
+    """[0,1] NHWC floats → list of PIL images (reference
+    pipeline_utils.py:1372)."""
+    from PIL import Image
+
+    arr = to_uint8(images)
+    if arr.ndim == 4 and arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    return [Image.fromarray(a) for a in arr]
+
+
+def match_count(dir: str, pattern: str = "*.png") -> int:
+    """Count files matching a glob under ``dir`` (working version of the
+    reference's broken util.py:22-26)."""
+    import glob as _glob
+
+    return len(_glob.glob(os.path.join(dir, pattern)))
+
+
 def path_gen(*fragment_lists: Sequence[str], sep: str = "_") -> List[str]:
     """Cartesian-product result-dir name enumerator for sweeps
     (reference util.py:373-385)."""

@@ -43,3 +43,44 @@ def test_normalize_and_grid():
     assert grid.shape[0] == grid.shape[1]
     assert path_gen(["a", "b"], ["1"]) == ["a_1", "b_1"]
     assert batchify(10, 4) == [4, 4, 2]
+
+
+def test_lr_schedule_variants_vs_reference_formulas():
+    import jax.numpy as jnp
+
+    from baddiffusion_tpu.training.optim import (
+        constant_schedule_with_warmup,
+        cosine_with_restarts_schedule_with_warmup,
+        linear_schedule_with_warmup,
+        polynomial_schedule_with_warmup,
+    )
+
+    lin = linear_schedule_with_warmup(1.0, 10, 110)
+    assert float(lin(5)) == pytest.approx(0.5)
+    assert float(lin(10)) == pytest.approx(1.0)
+    assert float(lin(60)) == pytest.approx(0.5)
+    assert float(lin(110)) == pytest.approx(0.0)
+
+    const = constant_schedule_with_warmup(2.0, 10)
+    assert float(const(5)) == pytest.approx(1.0)
+    assert float(const(100)) == pytest.approx(2.0)
+
+    poly = polynomial_schedule_with_warmup(1.0, 0, 100, lr_end=0.0, power=2.0)
+    assert float(poly(50)) == pytest.approx(0.25, abs=1e-6)
+    assert float(poly(200)) == pytest.approx(0.0, abs=1e-9)
+
+    res = cosine_with_restarts_schedule_with_warmup(1.0, 0, 100, num_cycles=2)
+    assert float(res(0)) == pytest.approx(1.0)  # cycle start
+    assert float(res(25)) == pytest.approx(0.5, abs=1e-5)  # mid-cycle
+    assert float(res(49)) == pytest.approx(0.0, abs=1e-2)  # cycle end
+    assert float(res(50)) == pytest.approx(1.0, abs=1e-5)  # hard restart
+
+
+def test_numpy_to_pil_and_match_count(tmp_path):
+    from baddiffusion_tpu.utils.image import match_count, numpy_to_pil, save_images
+
+    imgs = np.random.RandomState(0).rand(3, 8, 8, 3).astype(np.float32)
+    pils = numpy_to_pil(imgs)
+    assert len(pils) == 3 and pils[0].size == (8, 8)
+    save_images(imgs, str(tmp_path))
+    assert match_count(str(tmp_path)) == 3
