@@ -1,0 +1,70 @@
+"""Factory: scheduler-name dispatch table, scratch model path, alias handling."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from baddiffusion_tpu import factory
+from baddiffusion_tpu.factory import DiffuserModelSched
+
+
+ALL_SCHED_NAMES = [
+    DiffuserModelSched.DDPM_SCHED,
+    DiffuserModelSched.DDIM_SCHED,
+    DiffuserModelSched.DPM_SOLVER_PP_O1_SCHED,
+    DiffuserModelSched.DPM_SOLVER_O1_SCHED,
+    DiffuserModelSched.DPM_SOLVER_PP_O2_SCHED,
+    DiffuserModelSched.DPM_SOLVER_O2_SCHED,
+    DiffuserModelSched.DPM_SOLVER_PP_O3_SCHED,
+    DiffuserModelSched.DPM_SOLVER_O3_SCHED,
+    DiffuserModelSched.UNIPC_SCHED,
+    DiffuserModelSched.PNDM_SCHED,
+    DiffuserModelSched.DEIS_SCHED,
+    DiffuserModelSched.HEUN_SCHED,
+    DiffuserModelSched.LMSD_SCHED,
+    DiffuserModelSched.SCORE_SDE_VE_SCHED,
+]
+
+
+@pytest.mark.parametrize("name", ALL_SCHED_NAMES)
+def test_sched_dispatch(name):
+    make, kind = factory._sched_spec(name)
+    sched = make(False)
+    assert kind in ("ddpm", "ddim", "solver", "sde")
+    state = sched.create_state()
+    # T=1000 beta range pinned for discrete schedulers (model.py:586-588)
+    if hasattr(sched.config, "beta_start") and name != DiffuserModelSched.SCORE_SDE_VE_SCHED:
+        assert sched.config.num_train_timesteps == 1000
+        assert sched.config.beta_start == pytest.approx(1e-4)
+        assert sched.config.beta_end == pytest.approx(0.02)
+
+
+def test_unknown_sched_raises():
+    with pytest.raises(NotImplementedError):
+        factory._sched_spec("EDM-VE-SCHED")
+
+
+def test_scratch_model_default():
+    model, params, scheduler, get_pipeline = factory.get_model_sched(
+        image_size=32, channels=3, rng_seed=0, dtype=jnp.float32
+    )
+    assert model.config.block_out_channels == (128, 128, 256, 256, 512, 512)
+    assert scheduler.hf_class_name == "DDPMScheduler"
+    pipe = get_pipeline(params, scheduler)
+    assert pipe.default_inference_steps == 1000
+    assert pipe.clip_each_step is None
+
+
+def test_solver_pipeline_gets_per_step_clip():
+    model, params, scheduler, get_pipeline = factory.get_model_sched(
+        image_size=32, channels=3,
+        noise_sched_type=DiffuserModelSched.UNIPC_SCHED, clip_sample=True, dtype=jnp.float32
+    )
+    pipe = get_pipeline(params, scheduler)
+    assert pipe.clip_each_step == 1.0
+    assert pipe.default_inference_steps == 50
+
+
+def test_missing_checkpoint_clear_error():
+    with pytest.raises(FileNotFoundError, match="network egress"):
+        factory.resolve_checkpoint_path("DDPM-CIFAR10-32")
