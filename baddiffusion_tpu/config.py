@@ -240,7 +240,8 @@ def setup(argv: Optional[List[str]] = None) -> TrainingConfig:
         config.save_json(os.path.join(config.output_dir, "config.json"))
     elif config.mode == MODE_SAMPLING:
         config.save_json(os.path.join(config.output_dir, "sampling.json"))
-    elif config.mode == MODE_MEASURE:
+    if config.mode in (MODE_MEASURE, MODE_TRAIN_MEASURE):
+        # train+measure also records measure.json (baddiffusion.py:233-234)
         config.save_json(os.path.join(config.output_dir, "measure.json"))
 
     print(f"Argument Final: {dataclasses.asdict(config)}")
