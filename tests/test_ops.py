@@ -46,3 +46,35 @@ def test_grad_matches_reference():
     ga = jax.grad(lambda a: groupnorm_silu(a, scale, bias, 4).sum())(x)
     gb = jax.grad(lambda a: groupnorm_silu_reference(a, scale, bias, 4).sum())(x)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
+
+
+def test_attention_reference_matches_module_math():
+    import jax
+    import jax.numpy as jnp
+
+    from baddiffusion_tpu.ops import attention, attention_reference
+
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32))
+    scale = 1.0 / 4.0
+    # plain-softmax oracle
+    scores = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) * scale
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    expected = np.einsum("bhqk,bhkd->bhqd", probs, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(attention_reference(q, k, v, scale)), expected, atol=1e-5)
+    # dispatcher falls back to reference on CPU
+    np.testing.assert_allclose(np.asarray(attention(q, k, v, scale)), expected, atol=1e-5)
+
+
+def test_attention_grad_flows():
+    import jax
+    import jax.numpy as jnp
+
+    from baddiffusion_tpu.ops import attention
+
+    q = jnp.ones((1, 1, 8, 4)) * 0.1
+    g = jax.grad(lambda a: attention(a, q, q, 0.5).sum())(q)
+    assert np.isfinite(np.asarray(g)).all()
