@@ -148,6 +148,7 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
             sample_n=config.eval_sample_n,
             sampling_steps=config.sampling_steps,
             save_all_model_epochs=config.is_save_all_model_epochs,
+            profile_steps=config.profile_steps,
         )
     finally:
         tracker.close()

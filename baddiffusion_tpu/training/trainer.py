@@ -81,6 +81,7 @@ def train_loop(
     mesh=None,
     log_every: int = 20,
     on_epoch_end: Optional[Callable] = None,
+    profile_steps: int = 0,
 ):
     """Returns the final TrainState. Crash-tolerant: always checkpoints."""
     from baddiffusion_tpu.parallel.mesh import batch_sharding
@@ -105,6 +106,14 @@ def train_loop(
                 shardings = lambda k, v: batch_sharding(mesh, np.ndim(v) or 1)
             stream = device_prefetch(dsl.epoch_batches(epoch), size=2, sharding=shardings)
             for batch in stream:
+                # tracing/profiling channel (the reference has only MemoryLog,
+                # SURVEY.md §5.1; here: a real device trace on demand)
+                if profile_steps and global_step == start_step + 2:
+                    jax.profiler.start_trace(os.path.join(out_dir, "profile"))
+                if profile_steps and global_step == start_step + 2 + profile_steps:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    Log.info(f"profiler trace written to {out_dir}/profile")
                 key = jax.random.fold_in(base_key, global_step)
                 state, metrics = train_step(state, batch["image_u8"], batch["is_clean"], key)
                 if global_step % log_every == 0:
