@@ -57,10 +57,15 @@ from baddiffusion_tpu.utils.trackers import Tracker
 
 
 def get_data_loader(config: TrainingConfig) -> DatasetLoader:
+    # the loader yields GLOBAL batches (reference global batch = --batch ×
+    # grad_accum, reached by accumulating loader batches; here the train step
+    # scans over --batch-sized micro-batches inside, so the loader must hand
+    # it the full global batch for identical training dynamics)
+    global_batch = config.batch * config.gradient_accumulation_steps
     dsl = DatasetLoader(
         config.dataset,
         root=config.dataset_path,
-        batch_size=config.batch,
+        batch_size=global_batch,
         seed=config.seed,
         fake_size=config.fake_size,
     )
@@ -97,17 +102,32 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
     model, params, scheduler, get_pipeline = init_model(config, dsl)
     sstate = scheduler.create_state()
 
-    steps_per_epoch = dsl.num_batch
+    # LR schedule time constants: the reference steps its schedule once per
+    # MICRO-batch (baddiffusion.py:614 under accumulate) with warmup 500 and
+    # total len(loader)·epochs; here the schedule advances once per OPTIMIZER
+    # step, so both constants scale by 1/grad_accum to trace the same curve
+    # in sample time.
+    accum = max(1, config.gradient_accumulation_steps)
+    steps_per_epoch = dsl.num_batch  # optimizer steps (loader yields global batches)
     optimizer, lr_schedule = make_optimizer(
         config.learning_rate,
-        num_warmup_steps=config.lr_warmup_steps,
-        num_training_steps=config.epoch * steps_per_epoch,
+        num_warmup_steps=max(1, config.lr_warmup_steps // accum),
+        num_training_steps=max(1, config.epoch * steps_per_epoch),
     )
     state = create_train_state(params, optimizer, dsl.trigger, dsl.target, dsl.mask)
     start_epoch = start_step = 0
     if resume and has_trainer_state(config.output_dir):
         state, start_epoch, start_step = load_trainer_state(config.output_dir, jax.device_get(state))
         Log.info(f"resumed from epoch {start_epoch}, step {start_step}")
+
+    # data-parallel mesh over every visible chip (the reference's --gpu
+    # DataParallel analog, but as one SPMD program; single chip → no mesh)
+    from baddiffusion_tpu.parallel import make_mesh
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh() if n_dev > 1 else None
+    if mesh is not None:
+        Log.info(f"data-parallel mesh over {n_dev} devices")
 
     train_step = make_train_step(
         model,
@@ -116,6 +136,7 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
         sstate.schedule.alphas,
         sstate.schedule.alphas_cumprod,
         grad_accum=config.gradient_accumulation_steps,
+        mesh=mesh,
         # rematerialize the UNet at 256px: activations don't fit otherwise
         # (CelebA-HQ recipe, micro-batch 4 with grad-accum to 64)
         use_remat=dsl.image_size >= 256,
@@ -149,6 +170,7 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
             sampling_steps=config.sampling_steps,
             save_all_model_epochs=config.is_save_all_model_epochs,
             profile_steps=config.profile_steps,
+            mesh=mesh,
         )
     finally:
         tracker.close()

@@ -42,16 +42,18 @@ class AttentionBlock(nn.Module):
         k = nn.Dense(c, dtype=self.dtype, name="key")(hidden)
         v = nn.Dense(c, dtype=self.dtype, name="value")(hidden)
 
-        # [b, t, heads, head_dim]
-        q = q.reshape(b, h * w, num_heads, head_dim)
-        k = k.reshape(b, h * w, num_heads, head_dim)
-        v = v.reshape(b, h * w, num_heads, head_dim)
+        # [b, heads, t, head_dim]
+        q = q.reshape(b, h * w, num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, h * w, num_heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, h * w, num_heads, head_dim).transpose(0, 2, 1, 3)
 
         scale = 1.0 / (float(head_dim) ** 0.5)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-        probs = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        attn = attn.reshape(b, h * w, c)
+        # dispatches to the fused Pallas kernel where it measured faster,
+        # XLA einsum elsewhere (ops/attention.py)
+        from baddiffusion_tpu.ops.attention import attention
+
+        attn = attention(q, k, v, scale)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, h * w, c)
 
         out = nn.Dense(c, dtype=self.dtype, name="proj_attn")(attn)
         out = out.reshape(b, h, w, c)

@@ -219,6 +219,7 @@ extern "C" {
 
 int encode_png_batch(const uint8_t* imgs, int n, int h, int w, int c,
                      const char** paths, int n_threads) {
+  init_crc();  // before the pool: concurrent lazy init would be a data race
   const size_t per = (size_t)h * w * c;
   return parallel_for(n, n_threads, [&](int i) {
     return encode_one(imgs + per * i, h, w, c, paths[i]);

@@ -13,6 +13,13 @@ not supported by the TPU vector layout pass).
 Backward: custom VJP that recomputes through the jnp reference implementation
 (XLA-fused, numerically identical) — correctness first, forward-path savings
 retained.
+
+Status: DELIBERATELY NOT wired into the UNet modules. Measured end-to-end on
+v5e, the kernel wins only in isolated forward passes (2.4× at 16²×256); inside
+the training graph it regresses throughput (3776→2917 samples/s) because the
+VJP recompute and the broken producer-consumer fusion outweigh the forward
+saving. It remains available (``ops.groupnorm_silu`` / ``GroupNormSiLU``) for
+inference-only integrations; revisit with a hand-written backward kernel.
 """
 
 from __future__ import annotations

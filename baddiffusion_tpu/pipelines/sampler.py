@@ -122,21 +122,35 @@ def sample_sde_ve(
         sample = scheduler.step_correct(st, score, sample, sub)
         return (sample, st, k, i), None
 
+    n_frames = -(-n // capture_every) if capture_every else 0
+    frames0 = jnp.zeros((n_frames,) + init.shape, init.dtype) if capture_every else None
+
     def body(carry, i):
-        sample, st, k = carry
+        sample, last_mean, st, k, frames = carry
         (sample, st, k, _), _ = jax.lax.scan(corrector, (sample, st, k, i), None, length=correct_steps)
         sigma_t = st.sigmas[i]
         k, sub = jax.random.split(k)
         score = apply_fn(params, sample, jnp.broadcast_to(sigma_t, (sample.shape[0],)))
         st, sample, sample_mean = scheduler.step_pred(st, score, i, sample, sub)
-        frame = sample if capture_every else None
-        return (sample, st, k), (frame, sample_mean)
+        if capture_every:
+            slot = i // capture_every
+            frames = jax.lax.cond(
+                i % capture_every == 0,
+                lambda f: jax.lax.dynamic_update_index_in_dim(f, sample, slot, 0),
+                lambda f: f,
+                frames,
+            )
+        return (sample, sample_mean, st, k, frames), None
 
-    (sample, state, key), (frames, means) = jax.lax.scan(body, (sample, state, key), jnp.arange(n))
-    final = means[-1]  # the reference returns sample_mean of the last step
+    (sample, last_mean, state, key, frames), _ = jax.lax.scan(
+        body, (sample, jnp.zeros_like(sample), state, key, frames0), jnp.arange(n)
+    )
+    # the reference returns the last step's sample_mean
+    # (pipeline_score_sde_ve.py:109-113); only that mean is carried — no
+    # [T, B, ...] stacking (HBM-bounded like sample_loop)
     if capture_every:
-        return final, frames[:: capture_every]
-    return final, None
+        return last_mean, frames
+    return last_mean, None
 
 
 def to_images(sample: jnp.ndarray) -> jnp.ndarray:

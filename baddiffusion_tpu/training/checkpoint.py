@@ -45,8 +45,9 @@ def save_trainer_state(out_dir: str, state, epoch: int) -> None:
 
 
 def load_trainer_state(out_dir: str, state_template) -> Tuple[Any, int, int]:
-    """Restore (state, start_epoch, start_step); mirrors the reference's
-    resume semantics (continue from the NEXT epoch, baddiffusion.py:336-342,586)."""
+    """Restore (state, start_epoch, start_step). start_epoch is the SAVED
+    epoch, so resume re-runs the last checkpointed epoch — the reference's
+    exact quirk (baddiffusion.py:341,586: ``range(start_epoch, epochs)``)."""
     path = os.path.abspath(os.path.join(out_dir, CKPT_SUBDIR))
     ckptr = _checkpointer()
     import orbax.checkpoint as ocp

@@ -27,10 +27,11 @@ def ema_init(params) -> EMAState:
 
 def ema_decay(step: jnp.ndarray, max_decay: float = 0.9999, use_warmup: bool = True,
               inv_gamma: float = 1.0, power: float = 2.0 / 3.0) -> jnp.ndarray:
-    """Decay schedule (reference training_utils.py:105-125)."""
-    if not use_warmup:
-        return jnp.asarray(max_decay)
+    """Decay schedule (reference training_utils.py:105-125): power-law warm-up
+    when ``use_warmup``; otherwise the classic min(max, (1+step)/(10+step))."""
     step = jnp.maximum(step, 1).astype(jnp.float32)
+    if not use_warmup:
+        return jnp.minimum(jnp.asarray(max_decay), (1.0 + step) / (10.0 + step))
     value = 1.0 - (1.0 + step / inv_gamma) ** (-power)
     return jnp.clip(value, 0.0, max_decay)
 

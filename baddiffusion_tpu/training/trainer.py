@@ -126,7 +126,9 @@ def train_loop(
                     tracker.log(logs, step=global_step)
                 global_step += 1
 
-            if epoch % save_image_epochs == 0 or epoch == epochs - 1:
+            # (epoch + 1) % N — reference cadence (baddiffusion.py:629-633):
+            # no sampling/checkpoint burst right after epoch 0
+            if (epoch + 1) % save_image_epochs == 0 or epoch == epochs - 1:
                 try:
                     sample_grids(
                         make_pipeline(state),
@@ -139,7 +141,7 @@ def train_loop(
                     )
                 except Exception:
                     Log.error("sampling failed:\n" + traceback.format_exc())
-            if epoch % save_model_epochs == 0 or epoch == epochs - 1:
+            if (epoch + 1) % save_model_epochs == 0 or epoch == epochs - 1:
                 checkpoint(epoch)
     except KeyboardInterrupt:
         Log.warning("interrupted — checkpointing before exit")
@@ -148,6 +150,12 @@ def train_loop(
         Log.error("training crashed:\n" + traceback.format_exc())
         raise
     finally:
+        # close a still-open profiler trace (run shorter than profile window)
+        if profile_steps and global_step < start_step + 2 + profile_steps and global_step > start_step + 2:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
         # the reference's finally-block save (baddiffusion.py:635-645)
         try:
             checkpoint(cur_epoch)
