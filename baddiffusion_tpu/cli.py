@@ -177,12 +177,18 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
 
 
 def load_pipeline_for_eval(config: TrainingConfig):
-    """Pipeline from the run dir (or a per-epoch snapshot via --sample_ep)."""
+    """Pipeline from the run dir (or a per-epoch snapshot via --sample_ep).
+
+    Evaluation runs the UNet in f32 — the reference samples/measures with the
+    unwrapped fp32 model even when training is mixed-precision
+    (SURVEY.md §8.6)."""
+    import jax.numpy as jnp
+
     path = config.output_dir
     if config.sample_ep is not None:
         path = ep_model_path(config.output_dir, config.sample_ep)
     _model, params, scheduler, get_pipeline = factory.get_trained(
-        path, clip_sample=config.clip, noise_sched_type=config.sched
+        path, clip_sample=config.clip, noise_sched_type=config.sched, dtype=jnp.float32
     )
     return get_pipeline(params, scheduler)
 

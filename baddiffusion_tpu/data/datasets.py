@@ -48,11 +48,15 @@ def _fake_images(n: int, size: int, channel: int, seed: int = 1234) -> np.ndarra
     return (imgs * 255).round().astype(np.uint8)
 
 
-def _decode_hf_dataset(name: str, size: int, channel: int) -> Dict[str, np.ndarray]:
+def _decode_hf_dataset(name: str, size: int, channel: int, max_ram_bytes: int = 8 << 30) -> Dict[str, np.ndarray]:
     """Load an HF dataset (train+test merged, dataset.py:79-92) and eagerly
-    decode to uint8 NHWC. Raises offline if the dataset isn't cached."""
+    decode to uint8 NHWC. Decoding runs on a thread pool (PIL releases the
+    GIL); datasets whose decoded size exceeds ``max_ram_bytes`` raise with
+    guidance rather than silently swapping. Raises offline if not cached."""
     os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    from concurrent.futures import ThreadPoolExecutor
+
     from datasets import concatenate_datasets, load_dataset
     from PIL import Image
 
@@ -62,18 +66,29 @@ def _decode_hf_dataset(name: str, size: int, channel: int) -> Dict[str, np.ndarr
     else:
         ds = concatenate_datasets([load_dataset(hf_name, split="train"), load_dataset(hf_name, split="test")])
     img_key = "img" if "img" in ds.column_names else "image"
-    images, labels = [], []
-    for rec in ds:
+
+    n = len(ds)
+    total = n * size * size * channel
+    if total > max_ram_bytes:
+        raise MemoryError(
+            f"decoded {name} would need {total / 2**30:.1f} GiB (> {max_ram_bytes / 2**30:.0f} GiB); "
+            "reduce image_size or add a disk-backed loader"
+        )
+
+    def decode(rec):
         img = rec[img_key]
         img = img.convert("L") if channel == 1 else img.convert("RGB")
         if img.size != (size, size):
             img = img.resize((size, size), Image.BILINEAR)
         arr = np.asarray(img, dtype=np.uint8)
-        if arr.ndim == 2:
-            arr = arr[..., None]
-        images.append(arr)
-        labels.append(rec.get("label", -1))
-    return {"images": np.stack(images), "labels": np.asarray(labels, np.float32)}
+        arr = arr[..., None] if arr.ndim == 2 else arr
+        return arr, rec.get("label", -1)
+
+    with ThreadPoolExecutor() as pool:
+        decoded = list(pool.map(decode, ds))  # single pass: records decode once
+    images = np.stack([d[0] for d in decoded])
+    labels = np.asarray([d[1] for d in decoded], np.float32)
+    return {"images": images, "labels": labels}
 
 
 def _decode_image_dir(path: str, size: int, channel: int) -> Dict[str, np.ndarray]:

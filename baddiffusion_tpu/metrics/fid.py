@@ -92,8 +92,10 @@ def _proxy_extractor(dim: int = 2048, seed: int = 20230214) -> Callable:
             x = jnp.tile(x, (1, 1, 1, 3))
         x = x * 2.0 - 1.0
         for w in convs:
+            # HIGHEST precision: proxy-FID scores must agree across backends
             x = jax.lax.conv_general_dilated(
-                x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+                x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
             )
             x = jax.nn.relu(x)
         mean = jnp.mean(x, axis=(1, 2))

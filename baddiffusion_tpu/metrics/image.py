@@ -50,10 +50,13 @@ def ssim(
     kern = jnp.tile(kern[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
 
     def filt(x):
+        # exact f32 filtering: the TPU's default conv precision downconverts to
+        # bf16, which breaks the σ_ab ≤ σ_aσ_b invariant and yields SSIM > 1
         return jax.lax.conv_general_dilated(
             x, kern, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     c1 = (k1 * data_range) ** 2

@@ -48,9 +48,11 @@ class BasicConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # exact f32 convs: FID activations must match pytorch-fid numerics
         x = nn.Conv(
             self.features, self.kernel, strides=self.strides, padding=self.padding,
             use_bias=False, dtype=self.dtype, name="conv",
+            precision=jax.lax.Precision.HIGHEST,
         )(x)
         x = FrozenBatchNorm(self.features, name="bn")(x)
         return nn.relu(x)

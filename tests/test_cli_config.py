@@ -1,0 +1,88 @@
+"""Config/CLI layer: mode allow-lists, run-dir naming, LR/grad-accum policy,
+json persistence, fclip semantics — against the reference's setup() contract
+(baddiffusion.py:130-248)."""
+
+import json
+import os
+
+import pytest
+
+from baddiffusion_tpu.config import MODE_TRAIN, TrainingConfig, naming_fn, setup
+
+
+def train_args(tmp_path, extra=()):
+    return [
+        "--mode", "train", "--dataset", "FAKE", "--batch", "128",
+        "--poison_rate", "0.1", "--result", str(tmp_path), "-o", *extra,
+    ]
+
+
+class TestSetup:
+    def test_run_dir_naming_and_artifacts(self, tmp_path):
+        config = setup(train_args(tmp_path, ["--trigger", "BOX_14", "--target", "HAT", "--epoch", "50"]))
+        assert os.path.basename(config.output_dir) == "res_None_FAKE_ep50_c1.0_p0.1_BOX_14-HAT"
+        assert os.path.exists(os.path.join(config.output_dir, "args.json"))
+        assert os.path.exists(os.path.join(config.output_dir, "config.json"))
+        with open(os.path.join(config.output_dir, "config.json")) as f:
+            persisted = json.load(f)
+        assert persisted["poison_rate"] == 0.1
+
+    def test_postfix_in_name(self, tmp_path):
+        config = setup(train_args(tmp_path, ["--postfix", "xyz"]))
+        assert config.output_dir.endswith("_xyz")
+
+    def test_lr_policy_32px(self, tmp_path):
+        # scratch (no ckpt): 2e-4; grad accum = 128//batch
+        config = setup(train_args(tmp_path, ["--batch", "32", "--postfix", "a"]))
+        assert config.learning_rate == pytest.approx(2e-4)
+        assert config.gradient_accumulation_steps == 4
+
+    def test_batch_divisibility_enforced(self, tmp_path):
+        args = ["--mode", "train", "--dataset", "FAKE", "--batch", "48",
+                "--poison_rate", "0.1", "--result", str(tmp_path), "-o"]
+        with pytest.raises(ValueError, match="divisible"):
+            setup(args)
+
+    def test_default_batch_512_rejected(self, tmp_path):
+        # the reference quirk (SURVEY §8.5): default --batch 512 always fails
+        # the 32px policy (128 % 512 != 0 fires first, as in the reference)
+        args = ["--mode", "train", "--dataset", "FAKE", "--poison_rate", "0.1",
+                "--result", str(tmp_path), "-o"]
+        with pytest.raises(ValueError, match="divisible"):
+            setup(args)
+
+    def test_fclip_semantics(self, tmp_path):
+        config = setup(train_args(tmp_path, ["--fclip", "w", "--postfix", "c"]))
+        assert config.clip is True
+        config = setup(train_args(tmp_path, ["--fclip", "o", "--postfix", "d"]))
+        assert config.clip is False
+
+    def test_overwrite_protection(self, tmp_path):
+        args = train_args(tmp_path, ["--postfix", "e"])
+        setup(args)
+        with pytest.raises(ValueError, match="overwrite"):
+            setup([a for a in args if a != "-o"])
+
+    def test_invalid_arg_for_mode(self, tmp_path):
+        config = setup(train_args(tmp_path, ["--postfix", "f"]))
+        with pytest.raises(NotImplementedError, match="isn't used in mode"):
+            setup(["--mode", "sampling", "--ckpt", config.output_dir, "--epoch", "9"])
+
+    def test_eval_modes_reload_args(self, tmp_path):
+        config = setup(train_args(tmp_path, ["--trigger", "BOX_8", "--postfix", "g"]))
+        reloaded = setup(["--mode", "sampling", "--ckpt", config.output_dir, "--fclip", "w"])
+        assert reloaded.trigger == "BOX_8"  # from args.json
+        assert reloaded.clip is True  # mode-allowed override
+        assert reloaded.output_dir == config.output_dir
+        assert os.path.exists(os.path.join(config.output_dir, "sampling.json"))
+
+    def test_train_measure_writes_measure_json(self, tmp_path):
+        args = train_args(tmp_path, ["--postfix", "h"])
+        args[1] = "train+measure"
+        config = setup(args)
+        assert os.path.exists(os.path.join(config.output_dir, "measure.json"))
+
+    def test_sample_ep_negative_means_none(self, tmp_path):
+        config = setup(train_args(tmp_path, ["--postfix", "i"]))
+        reloaded = setup(["--mode", "measure", "--ckpt", config.output_dir, "--sample_ep", "-1"])
+        assert reloaded.sample_ep is None
