@@ -16,11 +16,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/baddiffusion_tpu/jax")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 A100_TRAIN_SAMPLES_PER_SEC_EST = 550.0
 

@@ -121,3 +121,31 @@ class TestEndToEndParity:
         assert out_j.movie.shape[0] == movie_t.shape[0] or True  # frame count may differ by capture convention
         # final frames must agree
         np.testing.assert_allclose(out_j.movie[-1], movie_t[-1], atol=2e-3, rtol=1e-2)
+
+
+@pytest.mark.reference
+class TestExportInterop:
+    def test_upstream_diffusers_loads_our_export(self, tmp_path, torch_unet):
+        """Our save_pretrained output must be loadable by the (vendored)
+        upstream torch diffusers — the deployable-pipeline contract
+        (baddiffusion.py:562 pipeline.save_pretrained)."""
+        import torch
+
+        diffusers, tm = torch_unet
+        params = torch_to_flax_params({k: v.numpy() for k, v in tm.state_dict().items()})
+        ours = DiffusionPipeline(
+            UNet2DModel(TINY), params, DDIMScheduler(DDIMConfig()),
+            hf_class_name="DDIMPipeline", default_inference_steps=10,
+        )
+        ours.save_pretrained(str(tmp_path))
+
+        loaded = diffusers.DDIMPipeline.from_pretrained(str(tmp_path))
+        # weights survive the round trip exactly
+        for k, v in loaded.unet.state_dict().items():
+            np.testing.assert_array_equal(v.numpy(), tm.state_dict()[k].numpy(), err_msg=k)
+        # and the torch pipeline runs from our export
+        with torch.no_grad():
+            out = loaded(batch_size=1, num_inference_steps=2, output_type=None,
+                         use_clipped_model_output=None).images
+        assert out.shape == (1, 16, 16, 3)
+        assert np.isfinite(out).all()
