@@ -107,3 +107,16 @@ class TestPipeline:
         a = pipe(batch_size=1, key=k, num_inference_steps=3).images
         b = loaded(batch_size=1, key=k, num_inference_steps=3).images
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sde_ve_pipeline_branch(pipe):
+    # predictor-corrector branch of the pipeline (reference ScoreSdeVePipeline)
+    from baddiffusion_tpu.schedulers import ScoreSdeVeConfig, ScoreSdeVeScheduler
+
+    sde = DiffusionPipeline(
+        pipe.unet, pipe.params, ScoreSdeVeScheduler(ScoreSdeVeConfig()),
+        default_inference_steps=8, hf_class_name="ScoreSdeVePipeline",
+    )
+    out = sde(batch_size=1, key=jax.random.PRNGKey(0), num_inference_steps=8)
+    assert out.images.shape == (1, 8, 8, 3)
+    assert 0.0 <= out.images.min() and out.images.max() <= 1.0

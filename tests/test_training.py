@@ -159,3 +159,18 @@ def test_tensor_parallel_2d_mesh():
     batch = next(dsl.epoch_batches(0))
     tp_state, metrics = step(tp_state, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_bitwise_deterministic_training():
+    # same seed, same data => bitwise-identical params after k steps
+    def run():
+        model, state, step, dsl, _ = make_bits(batch_size=8)
+        for i, batch in enumerate(dsl.epoch_batches(0)):
+            state, _ = step(state, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(i))
+            if i == 2:
+                break
+        return jax.device_get(state.params)
+
+    a, b = run(), run()
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
