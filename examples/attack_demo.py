@@ -88,6 +88,14 @@ def main():
     save_image_grid(bd[:16], os.path.join(args.out, "backdoor_grid.png"), 4, 4)
     save_image_grid(clean[:16], os.path.join(args.out, "clean_grid.png"), 4, 4)
     json.dump(res, open(os.path.join(args.out, "result.json"), "w"))
+    # save the backdoored pipeline + args.json so the ANP defense CLI can
+    # consume this run directly (anp_config reads trigger/target/dataset)
+    pipe.save_pretrained(args.out)
+    json.dump(
+        {"trigger": "BOX_14", "target": "CORNER", "poison_rate": 0.3,
+         "dataset": "FAKE", "learning_rate": 2e-4},
+        open(os.path.join(args.out, "args.json"), "w"),
+    )
 
 
 if __name__ == "__main__":
