@@ -182,10 +182,14 @@ def main(argv=None):
         optimizer, lr_schedule = make_optimizer(config.learning_rate, schedule="constant", grad_clip=1.0)
     opt_state = optimizer.init(perturb)
 
+    from baddiffusion_tpu.parallel import make_mesh
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
     step_fn = make_anp_step(
         model, optimizer, scheduler.config.num_train_timesteps,
         sstate.schedule.alphas, sstate.schedule.alphas_cumprod,
         perturb_budget=config.perturb_budget,
+        mesh=mesh,
     )
 
     import jax.numpy as jnp
