@@ -238,10 +238,10 @@ class UNet2DModel(nn.Module):
             name="mid_block",
         )(sample, emb, deterministic)
 
-        # 5. up path
-        skip_sample = None if not any("Skip" in t for t in cfg.up_block_types) else skip_sample
-        if not any("Skip" in t for t in cfg.down_block_types):
-            skip_sample = None
+        # 5. up path — the skip chain restarts at None and accumulates upward
+        # (reference unet_2d.py:301; the down-path skip ends at the last
+        # SkipDown block's fusion)
+        skip_sample = None
         reversed_channels = list(reversed(cfg.block_out_channels))
         output_channel = reversed_channels[0]
         for i, block_type in enumerate(cfg.up_block_types):

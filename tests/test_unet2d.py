@@ -138,3 +138,51 @@ class TestTorchParity:
         model, loaded = load_unet(str(tmp_path))
         y = model.apply({"params": loaded}, jnp.asarray(x), jnp.asarray(t))
         np.testing.assert_allclose(np.asarray(y), y_torch, atol=2e-4, rtol=1e-3)
+
+
+# NCSN++-style config: fourier time embedding + FIR skip blocks
+TINY_NCSNPP = UNet2DConfig(
+    sample_size=16,
+    in_channels=3,
+    out_channels=3,
+    layers_per_block=1,
+    block_out_channels=(32, 64),
+    down_block_types=("SkipDownBlock2D", "AttnSkipDownBlock2D"),
+    up_block_types=("AttnSkipUpBlock2D", "SkipUpBlock2D"),
+    attention_head_dim=16,
+    norm_num_groups=None,
+    time_embedding_type="fourier",
+    resnet_time_scale_shift="scale_shift",
+)
+
+
+@pytest.mark.reference
+class TestSkipBlockParity:
+    def test_ncsnpp_style_forward_parity(self):
+        import torch
+
+        from tests.reference_utils import import_reference_diffusers
+
+        diffusers = import_reference_diffusers()
+        torch.manual_seed(0)
+        tm = diffusers.UNet2DModel(
+            sample_size=16, in_channels=3, out_channels=3, layers_per_block=1,
+            block_out_channels=(32, 64),
+            down_block_types=("SkipDownBlock2D", "AttnSkipDownBlock2D"),
+            up_block_types=("AttnSkipUpBlock2D", "SkipUpBlock2D"),
+            attention_head_dim=16, norm_num_groups=None,
+            time_embedding_type="fourier", resnet_time_scale_shift="scale_shift",
+        )
+        tm.eval()
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 16, 16, 3).astype(np.float32)
+        # fourier models take continuous timesteps
+        t = np.asarray([0.5, 0.9], dtype=np.float32)
+        with torch.no_grad():
+            y_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(t),
+                     return_dict=False)[0].numpy().transpose(0, 2, 3, 1)
+
+        params = torch_to_flax_params({k: v.numpy() for k, v in tm.state_dict().items()})
+        model = UNet2DModel(TINY_NCSNPP)
+        y_j = model.apply({"params": params}, jnp.asarray(x), jnp.asarray(t))
+        np.testing.assert_allclose(np.asarray(y_j), y_t, atol=5e-4, rtol=1e-3)
