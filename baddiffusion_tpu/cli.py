@@ -211,9 +211,11 @@ def run_sampling(config: TrainingConfig, dsl: Optional[DatasetLoader] = None) ->
     Log.info(f"sampling written under {config.output_dir}/(samples|backdoor_samples)")
 
 
-def update_score_file(config: TrainingConfig, score_file: str, fid_sc, mse_sc, ssim_sc) -> dict:
+def update_score_file(config: TrainingConfig, score_file: str, fid_sc, mse_sc, ssim_sc, fid_key: str = "FID") -> dict:
     """Merge scores under FID/MSE/SSIM[_ep{n}][_noclip] keys
-    (reference baddiffusion.py:428-450)."""
+    (reference baddiffusion.py:428-450). ``fid_key`` is ``FID_proxy`` when the
+    extractor is the offline proxy — proxy scores are NOT comparable with
+    pytorch-fid numbers and must never occupy the bare ``FID`` key."""
 
     def get_key(key: str) -> str:
         res = f"{key}_ep{config.sample_ep}" if config.sample_ep is not None else key
@@ -225,7 +227,7 @@ def update_score_file(config: TrainingConfig, score_file: str, fid_sc, mse_sc, s
     if os.path.exists(path):
         with open(path) as f:
             sc = json.load(f)
-    for key, val in (("FID", fid_sc), ("MSE", mse_sc), ("SSIM", ssim_sc)):
+    for key, val in ((fid_key, fid_sc), ("MSE", mse_sc), ("SSIM", ssim_sc)):
         k = get_key(key)
         sc[k] = val if val is not None else sc.get(k)
     with open(path, "w") as f:
@@ -281,9 +283,15 @@ def run_measure(config: TrainingConfig, dsl: Optional[DatasetLoader] = None, res
         ssim_sc = float(ssim_fn(gen, np.ascontiguousarray(tiled)))
     Log.info(f"[{config.sample_ep}] FID: {fid_sc}, MSE: {mse_sc}, SSIM: {ssim_sc}")
 
-    sc = update_score_file(config, "score.json", fid_sc, mse_sc, ssim_sc)
+    from baddiffusion_tpu.metrics.fid import using_real_weights
+
+    fid_key = "FID" if using_real_weights() else "FID_proxy"
+    sc = update_score_file(config, "score.json", fid_sc, mse_sc, ssim_sc, fid_key=fid_key)
     tracker = Tracker(os.path.join(config.output_dir, "logs"), project=config.project)
-    step = dsl.num_batch * (config.sample_ep + 1 if config.sample_ep is not None else config.epoch)
+    # the reference logs MICRO-steps (baddiffusion.py:452-475: epochs × micro-
+    # batches); the loader here yields GLOBAL batches, so scale by grad-accum
+    epochs_done = config.sample_ep + 1 if config.sample_ep is not None else config.epoch
+    step = dsl.num_batch * max(1, config.gradient_accumulation_steps) * epochs_done
     tracker.log({k: v for k, v in sc.items() if v is not None}, step=step)
     tracker.close()
 

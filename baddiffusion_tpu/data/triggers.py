@@ -28,6 +28,53 @@ import numpy as np
 DEFAULT_VMIN, DEFAULT_VMAX = -1.0, 1.0
 ASSETS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets")
 
+# torchvision on-disk layout for the digit datasets (the reference stores them
+# this way via `MNIST(root=..., download=True)`, dataset.py:527-548)
+_DIGIT_FOLDERS = {"mnist": "MNIST", "fashion": "FashionMNIST"}
+_HF_DIGIT_NAMES = {"mnist": "mnist", "fashion": "fashion_mnist"}
+
+
+def read_idx_images(path: str) -> np.ndarray:
+    """Parse an IDX3 image file (the MNIST distribution format) → [N, H, W]
+    uint8. Accepts plain or gzip-compressed files."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        data = f.read()
+    magic = int.from_bytes(data[0:4], "big")
+    if magic != 2051:
+        raise ValueError(f"{path}: bad IDX3 magic {magic} (expected 2051)")
+    n = int.from_bytes(data[4:8], "big")
+    rows = int.from_bytes(data[8:12], "big")
+    cols = int.from_bytes(data[12:16], "big")
+    return np.frombuffer(data, np.uint8, count=n * rows * cols, offset=16).reshape(n, rows, cols)
+
+
+def load_digit_train_image(dataset: str, index: int, root: str) -> np.ndarray:
+    """One MNIST/FashionMNIST training image as [28, 28] uint8.
+
+    Resolution order: torchvision raw layout under ``root`` → HF datasets
+    local cache → clear staging error (zero network egress here)."""
+    folder = _DIGIT_FOLDERS[dataset]
+    for fname in ("train-images-idx3-ubyte", "train-images-idx3-ubyte.gz"):
+        path = os.path.join(root, folder, "raw", fname)
+        if os.path.exists(path):
+            return read_idx_images(path)[index]
+    try:
+        os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        from datasets import load_dataset
+
+        ds = load_dataset(_HF_DIGIT_NAMES[dataset], split="train")
+        return np.asarray(ds[index]["image"].convert("L"), dtype=np.uint8)
+    except Exception as exc:
+        raise RuntimeError(
+            f"{folder} digit triggers need the dataset staged at "
+            f"{os.path.join(root, folder, 'raw')!r} (IDX files) or in the HF "
+            "datasets cache — no network egress in this environment"
+        ) from exc
+
 
 class Backdoor:
     GREY_BG_RATIO = 0.3
@@ -157,20 +204,18 @@ class Backdoor:
         return canvas
 
     def _digit_image(self, dataset: str, index: int, channel: int, image_size: int, vmin: float, vmax: float) -> np.ndarray:
-        """MNIST/FashionMNIST sample as trigger/target source; needs local data."""
-        try:
-            from torchvision.datasets import MNIST, FashionMNIST
+        """MNIST/FashionMNIST train sample as trigger/target source, matching
+        the reference transform chain (dataset.py:428-441: channel convert →
+        Resize → ToTensor → normalize to [vmin, vmax]).
 
-            cls = MNIST if dataset == "mnist" else FashionMNIST
-            ds = cls(root=self.root, train=True, download=False)
-        except Exception as exc:  # pragma: no cover - offline guard
-            raise RuntimeError(
-                f"{dataset.upper()} digit triggers need the dataset at {self.root!r} "
-                "(no network egress in this environment)"
-            ) from exc
+        Reads the raw IDX files directly (torchvision's ``{root}/{MNIST,
+        FashionMNIST}/raw/train-images-idx3-ubyte[.gz]`` layout — no
+        torchvision dependency), falling back to a locally-cached HF dataset.
+        """
+        img28 = load_digit_train_image(dataset, index, self.root)
         from PIL import Image
 
-        img = ds[index][0]
+        img = Image.fromarray(img28, mode="L")
         img = img.convert("L") if channel == 1 else img.convert("RGB")
         img = img.resize((image_size, image_size), Image.BILINEAR)
         arr = np.asarray(img, dtype=np.float32) / 255.0

@@ -40,6 +40,13 @@ _DEFAULT_WEIGHT_PATHS = (
 )
 
 
+def using_real_weights() -> bool:
+    """True when the real FID InceptionV3 weights are staged — i.e. scores are
+    comparable with pytorch-fid. False means the proxy extractor is live and
+    callers must record scores under ``FID_proxy``, never bare ``FID``."""
+    return _find_inception_weights() is not None
+
+
 def _find_inception_weights() -> Optional[str]:
     cand = os.environ.get(FID_WEIGHTS_ENV)
     paths = ([cand] if cand else []) + list(_DEFAULT_WEIGHT_PATHS)

@@ -196,3 +196,113 @@ class TestDatasetLoader:
         out = list(device_prefetch(dsl.epoch_batches(0), size=2))
         assert len(out) == 4
         assert out[0]["image_u8"].shape == (16, 32, 32, 3)
+
+
+def _write_idx(path: str, images: np.ndarray) -> None:
+    """Serialize [N, H, W] uint8 images as an IDX3 file (optionally .gz)."""
+    import struct
+
+    n, h, w = images.shape
+    payload = struct.pack(">IIII", 2051, n, h, w) + images.tobytes()
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "wb") as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
+
+
+@pytest.fixture(scope="module")
+def digit_root(tmp_path_factory):
+    """A torchvision-layout root with synthesized MNIST (plain IDX) and
+    FashionMNIST (gzip IDX) training files — 150 digit-like images each,
+    covering every index the reference uses (3, 6, 0, 144)."""
+    root = tmp_path_factory.mktemp("digits")
+    rng = np.random.RandomState(7)
+    for folder, gz in (("MNIST", False), ("FashionMNIST", True)):
+        imgs = np.zeros((150, 28, 28), np.uint8)
+        for i in range(150):
+            # blob strokes on black background, like a digit silhouette
+            canvas = np.zeros((28, 28), np.float32)
+            for _ in range(4):
+                cy, cx = rng.randint(4, 24, size=2)
+                yy, xx = np.mgrid[0:28, 0:28]
+                canvas += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * rng.uniform(2, 9)))
+            imgs[i] = (np.clip(canvas, 0, 1) * 255).astype(np.uint8)
+        raw = root / folder / "raw"
+        raw.mkdir(parents=True)
+        _write_idx(str(raw / ("train-images-idx3-ubyte" + (".gz" if gz else ""))), imgs)
+    return str(root)
+
+
+class TestIDXReader:
+    def test_roundtrip_plain_and_gzip(self, tmp_path):
+        from baddiffusion_tpu.data.triggers import read_idx_images
+
+        imgs = np.arange(3 * 28 * 28, dtype=np.uint64).reshape(3, 28, 28).astype(np.uint8)
+        for name in ("a.idx", "b.idx.gz"):
+            p = str(tmp_path / name)
+            _write_idx(p, imgs)
+            np.testing.assert_array_equal(read_idx_images(p), imgs)
+
+    def test_bad_magic_raises(self, tmp_path):
+        from baddiffusion_tpu.data.triggers import read_idx_images
+
+        p = str(tmp_path / "bad.idx")
+        with open(p, "wb") as f:
+            f.write(b"\x00\x00\x08\x01" + b"\x00" * 16)
+        with pytest.raises(ValueError, match="magic"):
+            read_idx_images(p)
+
+    def test_missing_data_error_message(self, tmp_path):
+        from baddiffusion_tpu.data.triggers import load_digit_train_image
+
+        with pytest.raises(RuntimeError, match="staged"):
+            load_digit_train_image("mnist", 0, str(tmp_path))
+
+
+@pytest.mark.reference
+class TestDigitTriggerParityVsReference:
+    """17/17 trigger coverage: the MNIST/FASHION digit triggers against the
+    reference factory running on identical IDX bytes (reference
+    dataset.py:527-548; SHOE target :644-647)."""
+
+    def _reference_backdoor(self, root):
+        import sys
+
+        from tests.torchvision_shim import install
+
+        install()
+        sys.path.insert(0, "/root/reference")
+        cwd = os.getcwd()
+        os.chdir("/root/reference")
+        from dataset import Backdoor as RefBackdoor
+
+        return RefBackdoor(root=root), cwd
+
+    @pytest.mark.parametrize("trig_type", ["MNIST", "MNIST_EZ", "FASHION", "FASHION_EZ"])
+    @pytest.mark.parametrize("channel", [1, 3])
+    def test_digit_trigger_parity(self, digit_root, trig_type, channel):
+        ref, cwd = self._reference_backdoor(digit_root)
+        try:
+            ref_trig = ref.get_trigger(type=trig_type, channel=channel, image_size=32)
+        finally:
+            os.chdir(cwd)
+        ref_trig = ref_trig.numpy().transpose(1, 2, 0)
+        ours = Backdoor(root=digit_root).get_trigger(trig_type, channel=channel, image_size=32)
+        # 2e-5 float32 noise: the reference normalizes via util.normalize's
+        # linear remap, ours via x*2-1 (same map, different op order)
+        np.testing.assert_allclose(ours, ref_trig, atol=5e-5)
+
+    def test_shoe_target_parity(self, digit_root):
+        ref, cwd = self._reference_backdoor(digit_root)
+        try:
+            ref_trig = ref.get_trigger(type="BOX_14", channel=3, image_size=32)
+            ref_tgt = ref.get_target(type="SHOE", trigger=ref_trig).numpy().transpose(1, 2, 0)
+        finally:
+            os.chdir(cwd)
+        bd = Backdoor(root=digit_root)
+        ours = bd.get_target("SHOE", trigger=bd.get_trigger("BOX_14", channel=3, image_size=32))
+        np.testing.assert_allclose(ours, ref_tgt, atol=5e-5)

@@ -119,3 +119,100 @@ class TestInceptionArch:
         params = model.init(jax.random.PRNGKey(0), x)["params"]
         y = model.apply({"params": params}, x)
         assert y.shape == (1, 2048)
+
+
+class TestFIDInceptionConversionParity:
+    """Validate the flax FID-InceptionV3 port + torch→flax weight conversion
+    against a torch implementation of the same architecture (pytorch_fid's
+    pool3 network, written from spec in tests/fid_inception_torch.py) with
+    fully randomized weights and BN statistics.
+
+    This is the maximal offline proof of absolute-FID comparability: the
+    architecture, key mapping, pooling semantics, resize and normalization all
+    match; only the real `pt_inception-2015-12-05` weight FILE (network
+    egress) remains unverified — when staged, `load_fid_inception` consumes it
+    through exactly this code path.
+    """
+
+    def _save_randomized(self, tmp_path, seed=0):
+        import torch
+
+        from tests.fid_inception_torch import randomized
+
+        model = randomized(seed)
+        sd = model.state_dict()
+        # the real file also carries the fc / AuxLogits tensors that the
+        # loader must strip
+        sd["fc.weight"] = torch.zeros(1008, 2048)
+        sd["fc.bias"] = torch.zeros(1008)
+        sd["AuxLogits.conv0.conv.weight"] = torch.zeros(128, 768, 1, 1)
+        path = tmp_path / "pt_inception_random.pth"
+        torch.save(sd, str(path))
+        return model, str(path)
+
+    def test_pool3_activation_parity(self, tmp_path):
+        import jax.numpy as jnp
+        import torch
+
+        from baddiffusion_tpu.models.inception import load_fid_inception
+
+        tm, path = self._save_randomized(tmp_path)
+        model, params = load_fid_inception(path)
+
+        rng = np.random.RandomState(42)
+        # 32x32 exercises the bilinear 299 upsample exactly like CIFAR eval
+        x = rng.rand(2, 32, 32, 3).astype(np.float32)
+        ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+        with torch.no_grad():
+            theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        assert ours.shape == theirs.shape == (2, 2048)
+        scale = np.abs(theirs).max()
+        np.testing.assert_allclose(ours, theirs, atol=max(1e-4, 2e-4 * scale), rtol=2e-3)
+
+    def test_grayscale_and_native_299(self, tmp_path):
+        import jax.numpy as jnp
+        import torch
+
+        from baddiffusion_tpu.models.inception import load_fid_inception
+
+        tm, path = self._save_randomized(tmp_path, seed=3)
+        model, params = load_fid_inception(path)
+        rng = np.random.RandomState(7)
+        for shape in [(1, 28, 28, 1), (1, 299, 299, 3)]:
+            x = rng.rand(*shape).astype(np.float32)
+            ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+            xt = torch.from_numpy(np.repeat(x, 3, -1).transpose(0, 3, 1, 2) if shape[-1] == 1
+                                  else x.transpose(0, 3, 1, 2))
+            with torch.no_grad():
+                theirs = tm(xt).numpy()
+            scale = np.abs(theirs).max()
+            np.testing.assert_allclose(ours, theirs, atol=max(1e-4, 2e-4 * scale), rtol=2e-3)
+
+    def test_end_to_end_fid_value_parity(self, tmp_path):
+        """Full fid() through the converted extractor vs a torch-side FID
+        (same Fréchet code both sides — isolates the extractor)."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from baddiffusion_tpu.metrics.fid import compute_statistics, fid, frechet_distance
+
+        tm, path = self._save_randomized(tmp_path, seed=1)
+        import baddiffusion_tpu.models.inception as inception
+
+        model, params = inception.load_fid_inception(path)
+
+        @jax.jit
+        def extract(images):
+            return model.apply({"params": params}, images)
+
+        rng = np.random.RandomState(0)
+        a = rng.rand(8, 32, 32, 3).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+        ours = fid([a, b], extractor=extract, batch_size=8)
+
+        with torch.no_grad():
+            fa = tm(torch.from_numpy(a.transpose(0, 3, 1, 2))).numpy()
+            fb = tm(torch.from_numpy(b.transpose(0, 3, 1, 2))).numpy()
+        theirs = frechet_distance(*compute_statistics(fa), *compute_statistics(fb))
+        assert abs(ours - theirs) / max(abs(theirs), 1e-9) < 0.05, (ours, theirs)

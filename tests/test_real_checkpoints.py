@@ -87,3 +87,36 @@ class TestRealCheckpoints:
         pipe = LDMPipeline.from_pretrained(path)
         out = pipe(batch_size=1, num_inference_steps=5)
         assert out.images.shape == (1, 256, 256, 3)
+
+
+@pytest.mark.slow
+class TestRealFIDWeights:
+    """Runs when the real pt_inception-2015-12-05 weights are staged
+    ($BADDIFFUSION_FID_WEIGHTS or the pytorch_fid cache path). The torch
+    oracle in tests/fid_inception_torch.py is key-compatible with the real
+    file, so this is a complete real-weights activation parity proof."""
+
+    def test_real_inception_activation_parity(self):
+        from baddiffusion_tpu.metrics.fid import _find_inception_weights
+
+        path = _find_inception_weights()
+        if path is None:
+            pytest.skip("pt_inception weights not staged (no network egress)")
+        import jax.numpy as jnp
+        import torch
+
+        from baddiffusion_tpu.models.inception import load_fid_inception
+        from tests.fid_inception_torch import TorchFIDInceptionV3
+
+        model, params = load_fid_inception(path)
+        tm = TorchFIDInceptionV3().eval()
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        sd = {k: v for k, v in sd.items() if not k.startswith(("fc.", "AuxLogits."))}
+        missing, unexpected = tm.load_state_dict(sd, strict=False)
+        assert not unexpected, unexpected
+
+        x = np.random.RandomState(0).rand(4, 32, 32, 3).astype(np.float32)
+        ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+        with torch.no_grad():
+            theirs = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=5e-3, rtol=1e-3)

@@ -88,6 +88,47 @@ def _unavailable_dataset(*args, **kwargs):
     raise RuntimeError("torchvision datasets unavailable offline")
 
 
+class _IDXDigitDataset:
+    """torchvision.datasets.MNIST-compatible reader over the raw IDX layout
+    (`{root}/{folder}/raw/train-images-idx3-ubyte[.gz]`). download=True is a
+    no-op when the files are already staged (offline environment)."""
+
+    folder = None
+
+    def __init__(self, root, train=True, download=False, transform=None):
+        import os
+
+        from baddiffusion_tpu.data.triggers import read_idx_images
+
+        base = os.path.join(root, self.folder, "raw")
+        name = "train-images-idx3-ubyte" if train else "t10k-images-idx3-ubyte"
+        for fname in (name, name + ".gz"):
+            path = os.path.join(base, fname)
+            if os.path.exists(path):
+                self.images = read_idx_images(path)
+                break
+        else:
+            raise RuntimeError(f"no IDX files staged under {base}")
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        img = Image.fromarray(self.images[i], mode="L")
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, 0
+
+
+class MNIST(_IDXDigitDataset):
+    folder = "MNIST"
+
+
+class FashionMNIST(_IDXDigitDataset):
+    folder = "FashionMNIST"
+
+
 def install():
     """Register fake torchvision modules in sys.modules."""
     import importlib.machinery
@@ -104,7 +145,9 @@ def install():
     ]:
         setattr(transforms_mod, name, obj)
     datasets_mod = types.ModuleType("torchvision.datasets")
-    for name in ("MNIST", "FashionMNIST", "CIFAR10", "SVHN"):
+    datasets_mod.MNIST = MNIST
+    datasets_mod.FashionMNIST = FashionMNIST
+    for name in ("CIFAR10", "SVHN"):
         setattr(datasets_mod, name, _unavailable_dataset)
     utils_mod = types.ModuleType("torchvision.utils")
     utils_mod.save_image = lambda *a, **k: None
