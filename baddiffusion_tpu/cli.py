@@ -74,7 +74,7 @@ def get_data_loader(config: TrainingConfig) -> DatasetLoader:
         target_type=config.target,
         clean_rate=config.clean_rate,
         poison_rate=config.poison_rate,
-    ).prepare_dataset(mode=config.dataset_load_mode)
+    ).prepare_dataset(mode=config.dataset_load_mode, split_method=config.split_method)
     return dsl
 
 

@@ -48,23 +48,49 @@ def _fake_images(n: int, size: int, channel: int, seed: int = 1234) -> np.ndarra
     return (imgs * 255).round().astype(np.uint8)
 
 
-def _decode_hf_dataset(name: str, size: int, channel: int, max_ram_bytes: int = 8 << 30) -> Dict[str, np.ndarray]:
+def _load_hf_dataset(name: str, root: Optional[str] = None):
+    """Resolve the HF dataset object for ``name`` (train+test merged for the
+    digit/CIFAR sets, dataset.py:79-92).
+
+    Offline staging: a `Dataset.save_to_disk` directory under
+    ``{root}/{NAME}`` or ``{root}/{hf_name}`` is preferred; otherwise the HF
+    datasets cache is consulted (offline mode — no downloads)."""
+    os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    import datasets as hfds
+
+    hf_name = HF_NAMES[name]
+    merge_test = name not in ("CELEBA", "CELEBA-HQ")
+
+    for cand in ([] if root is None else [os.path.join(root, name), os.path.join(root, hf_name.replace("/", "--"))]):
+        if os.path.isdir(cand) and (
+            os.path.exists(os.path.join(cand, "dataset_info.json"))
+            or os.path.exists(os.path.join(cand, "dataset_dict.json"))
+        ):
+            obj = hfds.load_from_disk(cand)
+            if isinstance(obj, hfds.DatasetDict):
+                parts = [obj["train"]] + ([obj["test"]] if merge_test and "test" in obj else [])
+                return hfds.concatenate_datasets(parts) if len(parts) > 1 else parts[0]
+            return obj
+    if merge_test:
+        return hfds.concatenate_datasets(
+            [hfds.load_dataset(hf_name, split="train"), hfds.load_dataset(hf_name, split="test")]
+        )
+    return hfds.load_dataset(hf_name, split="train")
+
+
+def _decode_hf_dataset(
+    name: str, size: int, channel: int, max_ram_bytes: int = 8 << 30, root: Optional[str] = None
+) -> Dict[str, np.ndarray]:
     """Load an HF dataset (train+test merged, dataset.py:79-92) and eagerly
     decode to uint8 NHWC. Decoding runs on a thread pool (PIL releases the
     GIL); datasets whose decoded size exceeds ``max_ram_bytes`` raise with
     guidance rather than silently swapping. Raises offline if not cached."""
-    os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
-    os.environ.setdefault("HF_HUB_OFFLINE", "1")
     from concurrent.futures import ThreadPoolExecutor
 
-    from datasets import concatenate_datasets, load_dataset
     from PIL import Image
 
-    hf_name = HF_NAMES[name]
-    if name in ("CELEBA", "CELEBA-HQ"):
-        ds = load_dataset(hf_name, split="train")
-    else:
-        ds = concatenate_datasets([load_dataset(hf_name, split="train"), load_dataset(hf_name, split="test")])
+    ds = _load_hf_dataset(name, root=root)
     img_key = "img" if "img" in ds.column_names else "image"
 
     n = len(ds)
@@ -162,7 +188,7 @@ class DatasetLoader:
             data = _fake_images(fake_size, self.image_size, self.channel)
             self._images, self._labels = data, np.full((len(data),), -1, np.float32)
         elif name in HF_NAMES:
-            data = _decode_hf_dataset(name, self.image_size, self.channel)
+            data = _decode_hf_dataset(name, self.image_size, self.channel, root=root)
             self._images, self._labels = data["images"], data["labels"]
         elif os.path.isdir(name):
             data = _decode_image_dir(name, self.image_size, self.channel)
@@ -199,12 +225,28 @@ class DatasetLoader:
         self.mask = trigger_mask(self.trigger, self.vmin)
         return self
 
-    def prepare_dataset(self, mode: str = MODE_FIXED) -> "DatasetLoader":
+    def prepare_dataset(self, mode: str = MODE_FIXED, split_method: str = "seeded") -> "DatasetLoader":
         """Assign the per-record clean/poison tags (the reference's concat of
-        tagged splits, dataset.py:162-244) via one seeded permutation."""
+        tagged splits, dataset.py:162-244).
+
+        ``split_method``:
+          * ``"seeded"`` (default) — one numpy permutation from ``self.seed``.
+          * ``"hf"`` — membership from HF `datasets.Dataset.train_test_split`
+            seeded with ``self.seed`` (bit-exact vs that library by
+            construction). NOTE the reference passes NO seed to
+            train_test_split (dataset.py:182,232), so its own membership is
+            nondeterministic across runs — matching a particular reference
+            run is impossible in principle; this option matches what the
+            reference WOULD produce if seeded.
+        """
         n = len(self._images)
-        rng = np.random.RandomState(self.seed)
-        perm = rng.permutation(n)
+        if split_method == "hf":
+            perm = self._hf_split_permutation(n, mode)
+        elif split_method == "seeded":
+            rng = np.random.RandomState(self.seed)
+            perm = rng.permutation(n)
+        else:
+            raise ValueError(f"unknown split_method {split_method!r}")
         if mode == self.MODE_FIXED:
             if self.poison_rate is None:
                 raise ValueError("call set_poison before prepare_dataset")
@@ -229,6 +271,31 @@ class DatasetLoader:
             raise NotImplementedError(f"Argument mode: {mode} isn't defined")
         self._is_clean = is_clean
         return self
+
+    def _hf_split_permutation(self, n: int, mode: str) -> np.ndarray:
+        """A permutation whose prefix ordering reproduces HF
+        `train_test_split(seed=self.seed)` membership through the FIXED/FLEX
+        tagging below (poison = the split's TEST side, reference
+        dataset.py:182-184, 232-234)."""
+        import datasets as hfds
+
+        idx = hfds.Dataset.from_dict({"i": list(range(n))})
+        if mode == self.MODE_FIXED:
+            backdoor_n = int(n * float(self.poison_rate))
+            if backdoor_n in (0, n):  # reference skips the split entirely (:174-180)
+                return np.arange(n)
+            dd = idx.train_test_split(test_size=backdoor_n, seed=self.seed)
+            return np.concatenate([np.asarray(dd["test"]["i"]), np.asarray(dd["train"]["i"])])
+        clean_n = int(n * float(self.clean_rate))
+        poison_n = int(n * float(self.poison_rate))
+        if clean_n + poison_n > n:
+            raise ValueError("FLEX mode needs clean_rate + poison_rate <= 1")
+        dd = idx.train_test_split(train_size=clean_n, test_size=poison_n, seed=self.seed)
+        clean = np.asarray(dd["train"]["i"], np.int64)
+        poison = np.asarray(dd["test"]["i"], np.int64)
+        rest = np.setdiff1d(np.arange(n), np.concatenate([clean, poison]), assume_unique=False)
+        # FLEX tagging below marks perm[:clean_n] clean, the next poison_n poisoned
+        return np.concatenate([clean, poison, rest])
 
     # -- access -------------------------------------------------------------------
     def __len__(self) -> int:

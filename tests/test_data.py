@@ -306,3 +306,145 @@ class TestDigitTriggerParityVsReference:
         bd = Backdoor(root=digit_root)
         ours = bd.get_target("SHOE", trigger=bd.get_trigger("BOX_14", channel=3, image_size=32))
         np.testing.assert_allclose(ours, ref_tgt, atol=5e-5)
+
+
+def _make_pil_images(n, size, gray=False, seed=11):
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        if gray:
+            out.append(Image.fromarray(rng.randint(0, 255, (size, size), dtype=np.uint8).astype(np.uint8), mode="L"))
+        else:
+            out.append(Image.fromarray(rng.randint(0, 255, (size, size, 3), dtype=np.uint8).astype(np.uint8), mode="RGB"))
+    return out
+
+
+class TestHFDatasetPath:
+    """Executes the real `_decode_hf_dataset` machinery (reference contract:
+    dataset.py:79-92 — train+test merged, channel/size normalization) against
+    genuine `datasets.Dataset` objects, offline."""
+
+    def test_decode_merges_train_and_test(self, monkeypatch):
+        import datasets as hfds
+
+        from baddiffusion_tpu.data.datasets import _decode_hf_dataset
+
+        train = hfds.Dataset.from_dict({"img": _make_pil_images(6, 32), "label": list(range(6))})
+        test = hfds.Dataset.from_dict({"img": _make_pil_images(4, 32, seed=12), "label": [9] * 4})
+
+        def fake_load(name, split):
+            assert name == "cifar10"
+            return {"train": train, "test": test}[split]
+
+        monkeypatch.setattr("datasets.load_dataset", fake_load)
+        out = _decode_hf_dataset("CIFAR10", size=32, channel=3)
+        assert out["images"].shape == (10, 32, 32, 3)
+        assert out["images"].dtype == np.uint8
+        assert list(out["labels"][:6]) == [0, 1, 2, 3, 4, 5]
+        # byte-faithful decode (no resize needed at native size)
+        np.testing.assert_array_equal(out["images"][0], np.asarray(train[0]["img"]))
+
+    def test_decode_grayscale_resize(self, monkeypatch):
+        import datasets as hfds
+
+        from baddiffusion_tpu.data.datasets import _decode_hf_dataset
+
+        train = hfds.Dataset.from_dict({"image": _make_pil_images(3, 28, gray=True)})
+        test = hfds.Dataset.from_dict({"image": _make_pil_images(2, 28, gray=True, seed=5)})
+        monkeypatch.setattr("datasets.load_dataset", lambda name, split: {"train": train, "test": test}[split])
+        out = _decode_hf_dataset("MNIST", size=32, channel=1)
+        assert out["images"].shape == (5, 32, 32, 1)
+        assert np.all(out["labels"] == -1)  # no label column
+
+    def test_ram_guard(self, monkeypatch):
+        import datasets as hfds
+
+        from baddiffusion_tpu.data.datasets import _decode_hf_dataset
+
+        train = hfds.Dataset.from_dict({"img": _make_pil_images(2, 8)})
+        monkeypatch.setattr("datasets.load_dataset", lambda name, split: train)
+        with pytest.raises(MemoryError, match="GiB"):
+            _decode_hf_dataset("CELEBA-HQ", size=256, channel=3, max_ram_bytes=1024)
+
+    def test_dataset_loader_end_to_end_over_hf(self, monkeypatch):
+        """DatasetLoader('MNIST') through decode → poison → batches."""
+        import datasets as hfds
+
+        train = hfds.Dataset.from_dict(
+            {"image": _make_pil_images(20, 28, gray=True), "label": list(range(10)) * 2}
+        )
+        test = hfds.Dataset.from_dict({"image": _make_pil_images(12, 28, gray=True, seed=3), "label": list(range(12))})
+        monkeypatch.setattr("datasets.load_dataset", lambda name, split: {"train": train, "test": test}[split])
+        dsl = DatasetLoader("MNIST", batch_size=8)
+        dsl.set_poison("BOX_14", "CORNER", poison_rate=0.25).prepare_dataset()
+        assert len(dsl) == 32 and dsl.channel == 1 and dsl.image_size == 32
+        batch = next(dsl.epoch_batches(0))
+        assert batch["image_u8"].shape == (8, 32, 32, 1)
+        assert (~dsl._is_clean).sum() == 8
+
+    def test_load_from_disk_staging(self, tmp_path, monkeypatch):
+        """A `save_to_disk` directory under the dataset root is preferred —
+        the offline staging path for real datasets."""
+        import datasets as hfds
+
+        def boom(*a, **k):
+            raise AssertionError("load_dataset must not be called when staged on disk")
+
+        monkeypatch.setattr("datasets.load_dataset", boom)
+        dd = hfds.DatasetDict(
+            {
+                "train": hfds.Dataset.from_dict({"img": _make_pil_images(6, 32), "label": [0] * 6}),
+                "test": hfds.Dataset.from_dict({"img": _make_pil_images(2, 32, seed=9), "label": [1] * 2}),
+            }
+        )
+        dd.save_to_disk(str(tmp_path / "CIFAR10"))
+        dsl = DatasetLoader("CIFAR10", root=str(tmp_path), batch_size=4)
+        assert len(dsl._images) == 8
+        assert dsl._images.shape == (8, 32, 32, 3)
+
+
+class TestHFSplitMethod:
+    """split_method='hf': membership is bit-exact vs the installed HF
+    datasets `train_test_split(seed)` (the reference calls it UNSEEDED —
+    dataset.py:182,232 — so its own membership varies run to run; this is the
+    strongest reproducible form of SURVEY §7 hard part (c))."""
+
+    def _loader(self, **kw):
+        kw.setdefault("batch_size", 8)
+        kw.setdefault("fake_size", 40)
+        return DatasetLoader(DatasetLoader.FAKE, **kw)
+
+    def test_fixed_membership_matches_hf(self):
+        import datasets as hfds
+
+        dsl = self._loader(seed=123).set_poison("BOX_14", "CORNER", poison_rate=0.3)
+        dsl.prepare_dataset(split_method="hf")
+        dd = hfds.Dataset.from_dict({"i": list(range(40))}).train_test_split(test_size=12, seed=123)
+        expected_poison = set(dd["test"]["i"])
+        got_poison = set(np.nonzero(~dsl._is_clean)[0].tolist())
+        assert got_poison == expected_poison
+
+    def test_flex_membership_and_order_match_hf(self):
+        import datasets as hfds
+
+        base = self._loader(seed=5)
+        raw = base._images.copy()
+        dsl = base.set_poison("BOX_14", "CORNER", clean_rate=0.5, poison_rate=0.25)
+        dsl.prepare_dataset(mode=DatasetLoader.MODE_FLEX, split_method="hf")
+        dd = hfds.Dataset.from_dict({"i": list(range(40))}).train_test_split(train_size=20, test_size=10, seed=5)
+        assert len(dsl) == 30
+        np.testing.assert_array_equal(dsl._images[:20], raw[np.asarray(dd["train"]["i"])])
+        np.testing.assert_array_equal(dsl._images[20:], raw[np.asarray(dd["test"]["i"])])
+        assert dsl._is_clean[:20].all() and not dsl._is_clean[20:].any()
+
+    def test_fixed_trivial_rates_skip_split(self):
+        dsl = self._loader().set_poison("BOX_14", "CORNER", poison_rate=1.0)
+        dsl.prepare_dataset(split_method="hf")
+        assert not dsl._is_clean.any()
+
+    def test_unknown_method_raises(self):
+        dsl = self._loader().set_poison("BOX_14", "CORNER", poison_rate=0.2)
+        with pytest.raises(ValueError, match="split_method"):
+            dsl.prepare_dataset(split_method="bogus")
