@@ -55,6 +55,18 @@ class GroupNorm(nn.Module):
         return (normed * scale + bias).astype(orig_dtype)
 
 
+def gn_silu(x, groups: int, eps: float, dtype, name: str):
+    """GroupNorm immediately followed by SiLU. Routed through the fused
+    Pallas kernel (ops/groupnorm.py) when BADDIFFUSION_FUSE_GN=1 — measured
+    end-to-end before enabling; see the kernel module docstring for numbers.
+    Parameter layout is identical either way (checkpoint-compatible)."""
+    import os
+
+    if os.environ.get("BADDIFFUSION_FUSE_GN") == "1":
+        return GroupNormSiLU(groups, eps, dtype=dtype, name=name)(x)
+    return nn.silu(GroupNorm(groups, eps, dtype=dtype, name=name)(x))
+
+
 class GroupNormSiLU(nn.Module):
     """GroupNorm immediately followed by SiLU — same param layout as GroupNorm
     (so checkpoints are interchangeable) but routed through the fused Pallas
@@ -241,8 +253,7 @@ class ResnetBlock2D(nn.Module):
         out_channels = self.out_channels or self.in_channels
         groups_out = self.groups_out or self.groups
 
-        hidden = GroupNorm(self.groups, self.eps, dtype=self.dtype, name="norm1")(x)
-        hidden = nn.silu(hidden)
+        hidden = gn_silu(x, self.groups, self.eps, self.dtype, name="norm1")
 
         if self.up:
             if self.kernel == "fir":
@@ -276,13 +287,13 @@ class ResnetBlock2D(nn.Module):
         if temb_out is not None and self.time_embedding_norm == "default":
             hidden = hidden + temb_out
 
-        hidden = GroupNorm(groups_out, self.eps, dtype=self.dtype, name="norm2")(hidden)
-
         if temb_out is not None and self.time_embedding_norm == "scale_shift":
+            hidden = GroupNorm(groups_out, self.eps, dtype=self.dtype, name="norm2")(hidden)
             scale, shift = jnp.split(temb_out, 2, axis=-1)
             hidden = hidden * (1 + scale) + shift
-
-        hidden = nn.silu(hidden)
+            hidden = nn.silu(hidden)
+        else:
+            hidden = gn_silu(hidden, groups_out, self.eps, self.dtype, name="norm2")
         if self.dropout > 0.0:
             hidden = nn.Dropout(self.dropout, deterministic=deterministic)(hidden)
         hidden = nn.Conv(out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(hidden)

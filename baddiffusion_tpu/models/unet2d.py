@@ -32,7 +32,7 @@ from baddiffusion_tpu.models.blocks import (
     UpBlock2D,
 )
 from baddiffusion_tpu.models.embeddings import GaussianFourierProjection, TimestepEmbedding, Timesteps
-from baddiffusion_tpu.models.resnet import GroupNorm
+from baddiffusion_tpu.models.resnet import GroupNorm, gn_silu
 
 MODEL_CONFIG_NAME = "config.json"
 
@@ -288,8 +288,7 @@ class UNet2DModel(nn.Module):
         num_groups_out = cfg.norm_num_groups if cfg.norm_num_groups is not None else min(
             cfg.block_out_channels[0] // 4, 32
         )
-        sample = GroupNorm(num_groups_out, cfg.norm_eps, dtype=self.dtype, name="conv_norm_out")(sample)
-        sample = nn.silu(sample)
+        sample = gn_silu(sample, num_groups_out, cfg.norm_eps, self.dtype, name="conv_norm_out")
         sample = nn.Conv(
             cfg.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_out"
         )(sample)
