@@ -143,7 +143,9 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
     )
 
     def make_pipeline(st):
-        return get_pipeline(jax.device_get(st.params), scheduler)
+        # params stay on device; device_get here would force a host round trip
+        # and a re-upload on every pipeline call
+        return get_pipeline(st.params, scheduler)
 
     tracker = Tracker(
         os.path.join(config.output_dir, "logs"),
@@ -190,7 +192,10 @@ def load_pipeline_for_eval(config: TrainingConfig):
     _model, params, scheduler, get_pipeline = factory.get_trained(
         path, clip_sample=config.clip, noise_sched_type=config.sched, dtype=jnp.float32
     )
-    return get_pipeline(params, scheduler)
+    pipeline = get_pipeline(params, scheduler)
+    if getattr(config, "eval_dtype", "fp32") == "bf16":
+        pipeline.compute_dtype = jnp.bfloat16  # opt-in throughput mode (--eval_dtype bf16)
+    return pipeline
 
 
 def run_sampling(config: TrainingConfig, dsl: Optional[DatasetLoader] = None) -> None:

@@ -99,6 +99,10 @@ class LDMPipeline:
             init = jnp.asarray(init, jnp.float32)
             batch_size = init.shape[0]
         run = self._sample_fn(batch_size, n, capture_every)
+        leaves = jax.tree_util.tree_leaves((self.params, self.vqvae_params))
+        if leaves and not isinstance(leaves[0], jax.Array):  # upload weights once
+            self.params = jax.device_put(self.params)
+            self.vqvae_params = jax.device_put(self.vqvae_params)
         images, movie = run(self.params, self.vqvae_params, init, key)
         return PipelineOutput(
             images=np.asarray(images), movie=None if movie is None else np.asarray(movie)

@@ -50,6 +50,7 @@ class DiffusionPipeline:
         clip_each_step: Optional[float] = None,
         default_inference_steps: int = 1000,
         hf_class_name: str = "DDPMPipeline",
+        compute_dtype=None,
     ):
         self.unet = unet
         self.params = params
@@ -57,6 +58,12 @@ class DiffusionPipeline:
         self.clip_each_step = clip_each_step
         self.default_inference_steps = default_inference_steps
         self.hf_class_name = hf_class_name
+        # UNet compute precision for sampling. None keeps the model's own
+        # dtype (reference parity: pipelines run the fp32 model, SURVEY §8.6).
+        # bf16 roughly doubles sampling throughput on TPU: weights stream at
+        # half the HBM bytes and the MXU runs at bf16 rate; the scheduler
+        # update stays f32 either way.
+        self.compute_dtype = compute_dtype
         self._jit_cache = {}
 
     # -- serialization (HF layout) ---------------------------------------------
@@ -97,7 +104,19 @@ class DiffusionPipeline:
 
         scheduler = self.scheduler
         state = scheduler.set_timesteps(scheduler.create_state(), num_inference_steps)
-        apply_fn = lambda p, x, t: self.unet.apply({"params": p}, x, t)
+        unet = self.unet
+        if self.compute_dtype is not None and self.compute_dtype != unet.dtype:
+            unet = type(self.unet)(self.unet.config, dtype=self.compute_dtype)
+        cast = self.compute_dtype
+
+        def apply_fn(p, x, t):
+            if cast is not None:
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(cast) if jnp.issubdtype(a.dtype, jnp.floating) else a, p
+                )
+            # the scheduler update runs in the sample's dtype (f32) regardless
+            return unet.apply({"params": p}, x, t).astype(x.dtype)
+
         is_sde_ve = scheduler.hf_class_name == "ScoreSdeVeScheduler"
 
         @jax.jit
@@ -160,6 +179,13 @@ class DiffusionPipeline:
         else:
             init = jnp.asarray(init, jnp.float32)
             batch_size = init.shape[0]
+
+        # params loaded from disk (or device_get by a caller) are host numpy;
+        # upload ONCE — re-uploading ~450MB per chunked sampling call
+        # dominates wall-clock (measured 15 → 5 imgs/sec on v5e)
+        leaves = jax.tree_util.tree_leaves(self.params)
+        if leaves and not isinstance(leaves[0], jax.Array):
+            self.params = jax.device_put(self.params)
 
         run = self._sample_fn(batch_size, n, start_from, capture_every)
         images, movie = run(self.params, init, key)

@@ -30,10 +30,16 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 A100_TRAIN_SAMPLES_PER_SEC_EST = 550.0
+# A100 1000-step DDPM sampling estimate for the same UNet: forward-only
+# throughput ≈ 3× the fwd+bwd+opt train rate (fwd is ~1/3 of a train step's
+# FLOPs) → ~1650 fwd samples/s → /1000 steps. Same public-report basis as the
+# train estimate; no in-tree reference number exists (BASELINE.md).
+A100_SAMPLING_IMGS_PER_SEC_EST = 1.65
 
 BATCH = 128
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20
+SAMPLING_BATCH = 128  # measured optimum on v5e (8@16/32 → 15@64-128 → 14.4@256 imgs/s)
 
 
 def main():
@@ -79,18 +85,20 @@ def main():
     dt = time.perf_counter() - t0
     samples_per_sec = BATCH * MEASURE_STEPS / dt
 
-    # secondary: 1000-step DDPM sampling imgs/sec (the measure-path workload),
-    # estimated from steady-state forward throughput on a 64-image batch
-    fwd = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))
-    x = jax.random.normal(jax.random.PRNGKey(7), (64, 32, 32, 3))
-    t = jnp.full((64,), 500, jnp.int32)
-    jax.block_until_ready(fwd(state.params, x, t))
+    # secondary: REAL 1000-step DDPM sampling imgs/sec — the actual pipeline
+    # scan (UNet fwd + scheduler step + ancestral noise per step), bf16
+    # compute (the --eval_dtype bf16 throughput mode)
+    from baddiffusion_tpu.pipelines import DiffusionPipeline
+
+    model_f32 = UNet2DModel(cfg, dtype=jnp.float32)
+    pipe = DiffusionPipeline(model_f32, jax.device_get(state.params), sched, compute_dtype=jnp.bfloat16)
+    init = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(7), (SAMPLING_BATCH, 32, 32, 3), jnp.float32)
+    )
+    pipe(init=init, num_inference_steps=1000, key=jax.random.PRNGKey(8))  # compile (cached)
     t0 = time.perf_counter()
-    for _ in range(20):
-        out = fwd(state.params, x, t)
-    jax.block_until_ready(out)
-    fwd_per_sec = 64 * 20 / (time.perf_counter() - t0)
-    sampling_imgs_per_sec = fwd_per_sec / 1000.0
+    pipe(init=init, num_inference_steps=1000, key=jax.random.PRNGKey(9))
+    sampling_imgs_per_sec = SAMPLING_BATCH / (time.perf_counter() - t0)
 
     print(
         json.dumps(
@@ -100,6 +108,7 @@ def main():
                 "unit": "samples/sec",
                 "vs_baseline": round(samples_per_sec / A100_TRAIN_SAMPLES_PER_SEC_EST, 2),
                 "ddpm_1000step_sampling_imgs_per_sec": round(sampling_imgs_per_sec, 2),
+                "sampling_vs_baseline": round(sampling_imgs_per_sec / A100_SAMPLING_IMGS_PER_SEC_EST, 2),
             }
         )
     )
