@@ -1,0 +1,107 @@
+"""Multi-host path (parallel/distributed.py — SURVEY §2.4/§5.8).
+
+Two tiers:
+  * single-process: host_shard_slice math + global_batch_from_host_shards on
+    the 8-virtual-device mesh (process_count == 1: local rows == global batch);
+  * integration: TWO real processes under jax.distributed over a local TCP
+    coordinator, running shard assembly AND one full sharded train step
+    (tests/multihost_worker.py).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestHostShardSlice:
+    def test_explicit_processes(self):
+        from baddiffusion_tpu.parallel.distributed import host_shard_slice
+
+        slices = [host_shard_slice(12, process_index=i, process_count=3) for i in range(3)]
+        assert slices == [slice(0, 4), slice(4, 8), slice(8, 12)]
+        # slices tile the batch exactly
+        idx = np.concatenate([np.arange(12)[s] for s in slices])
+        np.testing.assert_array_equal(idx, np.arange(12))
+
+    def test_current_process_defaults(self):
+        import jax
+
+        from baddiffusion_tpu.parallel.distributed import host_shard_slice
+
+        per = 16 // jax.process_count()
+        sl = host_shard_slice(16)
+        assert sl == slice(jax.process_index() * per, (jax.process_index() + 1) * per)
+
+
+class TestGlobalBatchSingleProcess:
+    def test_matches_shard_batch(self):
+        """process_count==1: the assembled global array equals a plain
+        data-sharded device_put of the same rows."""
+        import jax
+
+        from baddiffusion_tpu.parallel import make_mesh
+        from baddiffusion_tpu.parallel.distributed import global_batch_from_host_shards, host_shard_slice
+        from baddiffusion_tpu.parallel.mesh import shard_batch
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the virtual multi-device mesh")
+        mesh = make_mesh()
+        n = 2 * len(jax.devices())
+        batch = {
+            "image_u8": np.arange(n * 4 * 4 * 3, dtype=np.uint8).reshape(n, 4, 4, 3),
+            "is_clean": (np.arange(n) % 2).astype(bool),
+        }
+        local = {k: v[host_shard_slice(n)] for k, v in batch.items()}
+        ga = global_batch_from_host_shards(local, mesh)
+        gb = shard_batch(batch, mesh)
+        for k in batch:
+            assert ga[k].shape == gb[k].shape
+            assert ga[k].sharding == gb[k].sharding
+            np.testing.assert_array_equal(np.asarray(ga[k]), np.asarray(gb[k]))
+
+
+@pytest.mark.reference
+class TestTwoProcessIntegration:
+    def _free_port(self) -> int:
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        return port
+
+    def test_two_process_sharded_train_step(self):
+        """jax.distributed over 2 local processes: shard assembly + one full
+        data-parallel backdoor train step; losses must agree bitwise."""
+        port = self._free_port()
+        env = {**os.environ, "PYTHONPATH": REPO}
+        env.pop("JAX_PLATFORMS", None)  # worker sets its own
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"), str(i), "2", str(port)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                env=env,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("multihost worker timed out")
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        losses = [line.split()[1] for out in outs for line in out.splitlines() if line.startswith("MULTIHOST_OK")]
+        assert len(losses) == 2, outs
+        assert losses[0] == losses[1], losses
