@@ -84,3 +84,61 @@ def test_numpy_to_pil_and_match_count(tmp_path):
     assert len(pils) == 3 and pils[0].size == (8, 8)
     save_images(imgs, str(tmp_path))
     assert match_count(str(tmp_path)) == 3
+
+
+@pytest.mark.reference
+class TestEMAParityVsReference:
+    """Step-for-step parity with the vendored torch EMAModel
+    (training_utils.py:46-230): shadow params AND decay values, across both
+    warm-up modes, update_after_step delays, and min_decay floors."""
+
+    def _run_pair(self, n_steps, **kw):
+        import jax.numpy as jnp
+        import numpy as np
+        import torch
+
+        from baddiffusion_tpu.training import ema_decay, ema_init, ema_update
+        from tests.reference_utils import import_reference_diffusers
+
+        diffusers = import_reference_diffusers()
+        from diffusers.training_utils import EMAModel
+
+        torch.manual_seed(0)
+        tparams = [torch.nn.Parameter(torch.randn(4, 3)), torch.nn.Parameter(torch.randn(7))]
+        ref = EMAModel(
+            tparams,
+            decay=kw.get("max_decay", 0.9999),
+            min_decay=kw.get("min_decay", 0.0),
+            update_after_step=kw.get("update_after_step", 0),
+            use_ema_warmup=kw.get("use_warmup", False),
+            inv_gamma=kw.get("inv_gamma", 1.0),
+            power=kw.get("power", 2.0 / 3.0),
+        )
+        state = ema_init({"a": jnp.asarray(tparams[0].detach().numpy()),
+                          "b": jnp.asarray(tparams[1].detach().numpy())})
+        rng = np.random.RandomState(1)
+        for i in range(n_steps):
+            with torch.no_grad():
+                for p in tparams:
+                    p.add_(torch.from_numpy(rng.normal(0, 0.1, p.shape).astype(np.float32)))
+            ref.step(tparams)
+            state = ema_update(
+                state, {"a": jnp.asarray(tparams[0].detach().numpy()),
+                        "b": jnp.asarray(tparams[1].detach().numpy())}, **kw
+            )
+            got_decay = float(ema_decay(state.step, **kw))
+            assert got_decay == pytest.approx(ref.cur_decay_value, abs=1e-6), (i, got_decay)
+        np.testing.assert_allclose(np.asarray(state.params["a"]), ref.shadow_params[0].numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(state.params["b"]), ref.shadow_params[1].numpy(), atol=1e-5)
+
+    def test_default_mode(self):
+        self._run_pair(12)
+
+    def test_warmup_mode(self):
+        self._run_pair(12, use_warmup=True, inv_gamma=1.0, power=0.75)
+
+    def test_update_after_step_and_min_decay(self):
+        self._run_pair(15, update_after_step=5, min_decay=0.2)
+
+    def test_low_max_decay(self):
+        self._run_pair(8, max_decay=0.5)
