@@ -94,7 +94,9 @@ class TestTwoProcessIntegration:
         outs = []
         for p in procs:
             try:
-                out, _ = p.communicate(timeout=300)
+                # generous bound: under pytest-xdist the host is oversubscribed
+                # and the two workers' XLA compiles can take several minutes
+                out, _ = p.communicate(timeout=900)
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
