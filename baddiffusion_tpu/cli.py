@@ -137,9 +137,13 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
         sstate.schedule.alphas_cumprod,
         grad_accum=config.gradient_accumulation_steps,
         mesh=mesh,
-        # rematerialize the UNet at 256px: activations don't fit otherwise
-        # (CelebA-HQ recipe, micro-batch 4 with grad-accum to 64)
-        use_remat=dsl.image_size >= 256,
+        # remat only where activations would actually exceed HBM: measured on
+        # v5e (16 GiB), the 256px no-remat step fits through micro-batch 16
+        # (<=10 GiB temp) and is +28% faster at the canonical micro-batch 4
+        # (2804 vs 3603 ms per global-64 step; examples/mfu_analysis.py)
+        use_remat={"on": True, "off": False}.get(
+            config.remat, dsl.image_size >= 256 and config.batch > 16
+        ),
     )
 
     def make_pipeline(st):

@@ -53,7 +53,7 @@ MODE_RESUME_OPTS = ["project", "mode", "gpu", "ckpt"]
 MODE_SAMPLING_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 MODE_MEASURE_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 IGNORE_ARGS = ["overwrite", "is_save_all_model_epochs"]
-EXTRA_OPTS = ["fake_size", "measure_sample_n", "sampling_steps", "profile_steps", "split_method", "eval_dtype"]
+EXTRA_OPTS = ["fake_size", "measure_sample_n", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat"]
 
 SCHED_CHOICES = [
     "DDPM-SCHED", "DDIM-SCHED",
@@ -116,6 +116,11 @@ class TrainingConfig:
     fake_size: int = 512  # FAKE dataset size (offline testing)
     split_method: str = "seeded"  # poison-split source: seeded numpy perm | "hf" train_test_split
     eval_dtype: str = "fp32"  # sampling/measure UNet compute: fp32 (reference parity) | bf16 (~2x faster)
+    # UNet rematerialization in the train step: "auto" = only where activations
+    # would not fit HBM (256px above micro-batch 16 on a 16 GiB v5e — measured:
+    # no-remat fits through batch 16 with <=10 GiB temp and is +28% faster at
+    # the canonical micro-batch 4; examples/mfu_analysis.py); "on"/"off" force.
+    remat: str = "auto"
     sampling_steps: int = 1000  # inference steps for train-time sample grids
     profile_steps: int = 0  # >0: write a jax.profiler trace of N train steps
 
@@ -169,6 +174,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="poison-split membership: seeded numpy perm (default) or HF train_test_split(seed)")
     parser.add_argument("--eval_dtype", type=str, choices=["fp32", "bf16"],
                         help="UNet compute dtype for sampling/measure (default fp32, reference parity)")
+    parser.add_argument("--remat", type=str, choices=["auto", "on", "off"],
+                        help="train-step rematerialization (default auto: only when activations exceed HBM)")
     parser.add_argument("--measure_sample_n", type=int, help="override eval sample count (default 2048)")
     parser.add_argument("--sampling_steps", type=int, help="inference steps for train-time sample grids")
     parser.add_argument("--profile_steps", type=int, help="write a jax.profiler trace of N train steps to <out>/profile")

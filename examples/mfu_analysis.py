@@ -23,33 +23,36 @@ import numpy as np
 
 V5E_PEAK_BF16_FLOPS = 197e12
 V5E_HBM_BYTES_PER_S = 819e9
-BATCH = 128
 
 
-def main(measure: bool) -> None:
+def main(measure: bool, image_size: int = 32, batch: int = 128, grad_accum: int = 1,
+         remat: bool = False) -> None:
     from baddiffusion_tpu.data import DatasetLoader
     from baddiffusion_tpu.models import DEFAULT_SCRATCH_CONFIG, UNet2DModel
     from baddiffusion_tpu.schedulers import DDPMConfig, DDPMScheduler
     from baddiffusion_tpu.training import create_train_state, make_optimizer, make_train_step
 
-    cfg = dataclasses.replace(DEFAULT_SCRATCH_CONFIG, sample_size=32)
+    global_batch = batch * grad_accum
+    cfg = dataclasses.replace(DEFAULT_SCRATCH_CONFIG, sample_size=image_size)
     model = UNet2DModel(cfg, dtype=jnp.bfloat16)
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
 
     sched = DDPMScheduler(DDPMConfig())
     sstate = sched.create_state()
     optimizer, _ = make_optimizer(2e-4, num_warmup_steps=500, num_training_steps=10_000)
-    dsl = DatasetLoader(DatasetLoader.FAKE, image_size=32, batch_size=BATCH, fake_size=BATCH)
+    dsl = DatasetLoader(DatasetLoader.FAKE, image_size=image_size, batch_size=global_batch,
+                        fake_size=global_batch)
     dsl.set_poison("BOX_14", "CORNER", poison_rate=0.1).prepare_dataset()
     state = create_train_state(params, optimizer, dsl.trigger, dsl.target, dsl.mask)
     step = make_train_step(
         model, optimizer, sched.config.num_train_timesteps,
-        sstate.schedule.alphas, sstate.schedule.alphas_cumprod, use_remat=False,
+        sstate.schedule.alphas, sstate.schedule.alphas_cumprod,
+        grad_accum=grad_accum, use_remat=remat,
     )
 
-    batch = next(dsl.epoch_batches(0))
-    img = jnp.asarray(batch["image_u8"])
-    clean = jnp.asarray(batch["is_clean"])
+    batch_data = next(dsl.epoch_batches(0))
+    img = jnp.asarray(batch_data["image_u8"])
+    clean = jnp.asarray(batch_data["is_clean"])
     key = jax.random.PRNGKey(0)
 
     lowered = jax.jit(step).lower(state, img, clean, key)
@@ -59,10 +62,11 @@ def main(measure: bool) -> None:
     bytes_moved = float(ca.get("bytes accessed", 0.0))
     t_compute = flops / V5E_PEAK_BF16_FLOPS
     t_mem = bytes_moved / V5E_HBM_BYTES_PER_S
-    print(f"train step: {flops/1e9:.1f} GFLOP, {bytes_moved/2**30:.2f} GiB moved")
+    print(f"train step ({image_size}px, micro-batch {batch} x accum {grad_accum}"
+          f"{', remat' if remat else ''}): {flops/1e9:.1f} GFLOP, {bytes_moved/2**30:.2f} GiB moved")
     print(f"  speed-of-light: compute {t_compute*1e3:.2f} ms, memory {t_mem*1e3:.2f} ms "
           f"-> bound: {'compute' if t_compute > t_mem else 'memory'}")
-    sol_sps = BATCH / max(t_compute, t_mem)
+    sol_sps = global_batch / max(t_compute, t_mem)
     print(f"  SOL samples/sec (max(compute,mem)): {sol_sps:.0f}")
 
     if measure:
@@ -71,12 +75,12 @@ def main(measure: bool) -> None:
             s, m = step(s, img, clean, jax.random.PRNGKey(i))
         jax.block_until_ready(m["loss"])
         t0 = time.perf_counter()
-        n = 30
+        n = 30 if image_size <= 64 else 10
         for i in range(n):
             s, m = step(s, img, clean, jax.random.PRNGKey(100 + i))
         jax.block_until_ready(m["loss"])
         dt = (time.perf_counter() - t0) / n
-        sps = BATCH / dt
+        sps = global_batch / dt
         print(f"  measured: {dt*1e3:.2f} ms/step = {sps:.0f} samples/s "
               f"-> MFU {flops/dt/V5E_PEAK_BF16_FLOPS*100:.1f}%, "
               f"HBM util {bytes_moved/dt/V5E_HBM_BYTES_PER_S*100:.1f}%, "
@@ -86,4 +90,9 @@ def main(measure: bool) -> None:
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--measure", action="store_true")
-    main(p.parse_args().measure)
+    p.add_argument("--image_size", type=int, default=32)
+    p.add_argument("--batch", type=int, default=128, help="micro-batch (per accumulation step)")
+    p.add_argument("--grad_accum", type=int, default=1)
+    p.add_argument("--remat", action="store_true")
+    a = p.parse_args()
+    main(a.measure, a.image_size, a.batch, a.grad_accum, a.remat)

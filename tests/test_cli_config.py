@@ -86,3 +86,12 @@ class TestSetup:
         config = setup(train_args(tmp_path, ["--postfix", "i"]))
         reloaded = setup(["--mode", "measure", "--ckpt", config.output_dir, "--sample_ep", "-1"])
         assert reloaded.sample_ep is None
+
+    def test_remat_flag(self, tmp_path):
+        """--remat is an extension flag accepted in every mode; default auto."""
+        config = setup(train_args(tmp_path, ["--postfix", "r0"]))
+        assert config.remat == "auto"
+        config = setup(train_args(tmp_path, ["--postfix", "r1", "--remat", "off"]))
+        assert config.remat == "off"
+        config = setup(train_args(tmp_path, ["--postfix", "r2", "--remat", "on"]))
+        assert config.remat == "on"

@@ -404,6 +404,27 @@ class TestHFDatasetPath:
         assert len(dsl._images) == 8
         assert dsl._images.shape == (8, 32, 32, 3)
 
+    def test_stage_fake_datasets_script(self, tmp_path):
+        """The staging helper (examples/stage_fake_datasets.py) produces
+        save_to_disk dirs with the real hub schemas that DatasetLoader then
+        consumes through the production load path."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "stage_fake_datasets",
+            os.path.join(os.path.dirname(__file__), "..", "examples", "stage_fake_datasets.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        for name, channel, size in (("CIFAR10", 3, 32), ("MNIST", 1, 32)):
+            mod.stage(name, str(tmp_path), n=12)
+            dsl = DatasetLoader(name, root=str(tmp_path), batch_size=4)
+            assert dsl._images.shape == (12, size, size, channel)
+            assert dsl._images.dtype == np.uint8
+            assert dsl._labels.shape == (12,)
+
 
 class TestHFSplitMethod:
     """split_method='hf': membership is bit-exact vs the installed HF
