@@ -170,6 +170,11 @@ def main(argv=None):
     dsl.prepare_dataset(mode=DatasetLoader.MODE_FIXED)
 
     model, params, scheduler, get_pipeline = factory.get_trained(config.ckpt, clip_sample=config.clip)
+    # pin the frozen base params on device ONCE: passing the host pytree into
+    # the jitted step re-uploads ~0.5 GB every iteration, which over the TPU
+    # tunnel dominates the step (measured 12-20 s/step on the 113.7M model vs
+    # ~0.1 s with device-resident params) — same fix as the sampling path
+    params = jax.device_put(params)
     sstate = scheduler.create_state()
     perturb = init_perturb(params)
 
@@ -199,7 +204,9 @@ def main(argv=None):
     mask = jnp.asarray(dsl.mask)
 
     def make_pipe(pt):
-        merged = apply_perturb(params, jax.device_get(pt))
+        # merge on device: params are device-resident and apply_perturb is
+        # pure jnp, so the pipeline weights never round-trip through the host
+        merged = apply_perturb(params, pt)
         return get_pipeline(merged, scheduler)
 
     tracker = Tracker(os.path.join(config.output_dir, "logs"), project=config.project,

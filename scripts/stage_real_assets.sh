@@ -1,0 +1,52 @@
+#!/usr/bin/env bash
+# Stage the real-weights / real-data assets this framework's RUN_SLOW tier and
+# absolute-FID path need. This environment has NO network egress, so these
+# downloads must run wherever egress exists; afterwards every currently-gated
+# test and the bare-`FID` score path activate with no code changes.
+#
+# Reference contracts:
+#   pytorch-fid InceptionV3 weights -> fid_score.py:53 (pt_inception-2015-12-05)
+#   google/ddpm-* checkpoints       -> model.py:700-711 alias table
+#   HF datasets                     -> dataset.py:82-90
+set -euo pipefail
+
+ASSETS="${1:-$HOME/baddiffusion_assets}"
+mkdir -p "$ASSETS/ckpts" "$ASSETS/datasets"
+
+# 1. FID InceptionV3 weights (pytorch-fid's port of the TF-FID network).
+#    Enables: absolute FID parity (metrics/fid.py writes the bare `FID` key
+#    instead of `FID_proxy`), tests/test_metrics.py real-weights tier.
+curl -L -o "$ASSETS/pt_inception-2015-12-05-6726825d.pth" \
+  https://github.com/mseitzer/pytorch-fid/releases/download/fid_weights/pt_inception-2015-12-05-6726825d.pth
+export BADDIFFUSION_FID_WEIGHTS="$ASSETS/pt_inception-2015-12-05-6726825d.pth"
+
+# 2. Hub checkpoints (HF layout: model_index.json + unet/ + scheduler/).
+#    Enables: RUN_SLOW=1 tests/test_real_checkpoints.py (golden-slice parity,
+#    diffusers/tests/pipelines/ddpm/test_ddpm.py:111-112) and --ckpt aliases.
+for repo in google/ddpm-cifar10-32 google/ddpm-ema-celebahq-256; do
+  dir="$ASSETS/ckpts/${repo/\//--}"
+  python - "$repo" "$dir" <<'EOF'
+import sys
+from huggingface_hub import snapshot_download
+snapshot_download(sys.argv[1], local_dir=sys.argv[2])
+EOF
+done
+export BADDIFFUSION_CKPT_DIR="$ASSETS/ckpts"
+
+# 3. Datasets, staged through save_to_disk (the loader prefers these dirs —
+#    data/datasets.py:_load_hf_dataset; see examples/stage_fake_datasets.py
+#    for the offline procedural stand-ins used when egress is unavailable).
+python - "$ASSETS/datasets" <<'EOF'
+import sys
+import datasets as hfds
+root = sys.argv[1]
+for name, hf in (("CIFAR10", "cifar10"), ("MNIST", "mnist"), ("CELEBA-HQ", "huggan/CelebA-HQ")):
+    ds = hfds.load_dataset(hf)
+    ds.save_to_disk(f"{root}/{name}")
+EOF
+
+echo "Staged under $ASSETS. Run with:"
+echo "  BADDIFFUSION_FID_WEIGHTS=$BADDIFFUSION_FID_WEIGHTS \\"
+echo "  BADDIFFUSION_CKPT_DIR=$BADDIFFUSION_CKPT_DIR \\"
+echo "  RUN_SLOW=1 python -m pytest tests/test_real_checkpoints.py tests/test_metrics.py"
+echo "  # and point --dataset_path (or symlink ./datasets) at $ASSETS/datasets"
