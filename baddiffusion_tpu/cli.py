@@ -128,6 +128,14 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
     mesh = make_mesh() if n_dev > 1 else None
     if mesh is not None:
         Log.info(f"data-parallel mesh over {n_dev} devices")
+        if config.param_sharding == "fsdp":
+            # ZeRO-3 layout: the jitted step's in_shardings=None slots infer
+            # the layout from the state arrays, so sharding the state is all
+            # it takes — GSPMD inserts all-gather/reduce-scatter
+            from baddiffusion_tpu.parallel import shard_state_fsdp
+
+            state = shard_state_fsdp(state, mesh)
+            Log.info("FSDP parameter layout (params + optimizer sharded over data axis)")
 
     train_step = make_train_step(
         model,

@@ -53,7 +53,7 @@ MODE_RESUME_OPTS = ["project", "mode", "gpu", "ckpt"]
 MODE_SAMPLING_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 MODE_MEASURE_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 IGNORE_ARGS = ["overwrite", "is_save_all_model_epochs"]
-EXTRA_OPTS = ["fake_size", "measure_sample_n", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat"]
+EXTRA_OPTS = ["fake_size", "measure_sample_n", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat", "param_sharding"]
 
 SCHED_CHOICES = [
     "DDPM-SCHED", "DDIM-SCHED",
@@ -121,6 +121,11 @@ class TrainingConfig:
     # no-remat fits through batch 16 with <=10 GiB temp and is +28% faster at
     # the canonical micro-batch 4; examples/mfu_analysis.py); "on"/"off" force.
     remat: str = "auto"
+    # parameter layout on a multi-chip mesh: "replicated" (reference-parity
+    # DP) or "fsdp" (ZeRO-3-style: params + Adam moments sharded over the
+    # data axis, GSPMD all-gathers on use — the scale path for models whose
+    # optimizer state exceeds one chip's HBM). Single chip: no effect.
+    param_sharding: str = "replicated"
     sampling_steps: int = 1000  # inference steps for train-time sample grids
     profile_steps: int = 0  # >0: write a jax.profiler trace of N train steps
 
@@ -176,6 +181,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="UNet compute dtype for sampling/measure (default fp32, reference parity)")
     parser.add_argument("--remat", type=str, choices=["auto", "on", "off"],
                         help="train-step rematerialization (default auto: only when activations exceed HBM)")
+    parser.add_argument("--param_sharding", type=str, choices=["replicated", "fsdp"],
+                        help="multi-chip parameter layout (fsdp = ZeRO-3-style sharded params+optimizer)")
     parser.add_argument("--measure_sample_n", type=int, help="override eval sample count (default 2048)")
     parser.add_argument("--sampling_steps", type=int, help="inference steps for train-time sample grids")
     parser.add_argument("--profile_steps", type=int, help="write a jax.profiler trace of N train steps to <out>/profile")

@@ -3,6 +3,12 @@ from baddiffusion_tpu.parallel.distributed import (
     host_shard_slice,
     initialize,
 )
+from baddiffusion_tpu.parallel.sharding_rules import (
+    fsdp_param_specs,
+    shard_params,
+    shard_state_fsdp,
+    unet_param_specs,
+)
 from baddiffusion_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -18,4 +24,8 @@ __all__ = [
     "initialize",
     "host_shard_slice",
     "global_batch_from_host_shards",
+    "unet_param_specs",
+    "shard_params",
+    "fsdp_param_specs",
+    "shard_state_fsdp",
 ]

@@ -95,3 +95,9 @@ class TestSetup:
         assert config.remat == "off"
         config = setup(train_args(tmp_path, ["--postfix", "r2", "--remat", "on"]))
         assert config.remat == "on"
+
+    def test_param_sharding_flag(self, tmp_path):
+        config = setup(train_args(tmp_path, ["--postfix", "ps0"]))
+        assert config.param_sharding == "replicated"
+        config = setup(train_args(tmp_path, ["--postfix", "ps1", "--param_sharding", "fsdp"]))
+        assert config.param_sharding == "fsdp"

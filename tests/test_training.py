@@ -174,3 +174,43 @@ def test_bitwise_deterministic_training():
     a, b = run(), run()
     for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_fsdp_state_sharding_and_step():
+    """ZeRO-3-style layout (parallel/sharding_rules.py): params + Adam
+    moments shard over the data axis; the SAME jitted step consumes either
+    layout through sharding propagation and produces the same numbers."""
+    from baddiffusion_tpu.parallel import fsdp_param_specs, shard_state_fsdp
+
+    mesh = make_mesh()
+    model, state, step, dsl, _ = make_bits(batch_size=16, mesh=mesh)
+    batch = next(dsl.epoch_batches(0))
+
+    # replicated reference trajectory
+    s_rep, m_rep = step(state, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(0))
+
+    # fresh state in FSDP layout (min_size=1: tiny model, shard everything
+    # divisible so the layout is actually exercised)
+    _, state2, _, _, _ = make_bits(batch_size=16, mesh=mesh)
+    fs = shard_state_fsdp(state2, mesh, min_size=1)
+    specs = fsdp_param_specs(state2.params, 8, min_size=1)
+    sharded_leaves = [
+        (p, s) for p, s in zip(jax.tree.leaves(fs.params), jax.tree.leaves(specs))
+        if any(ax is not None for ax in s)
+    ]
+    assert sharded_leaves, "no parameter was actually sharded"
+    for p, _ in sharded_leaves:
+        shard = p.addressable_shards[0].data
+        assert shard.size == p.size // 8  # genuinely split, not replicated
+
+    s_fs, m_fs = step(fs, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m_fs["loss"]), float(m_rep["loss"]), rtol=1e-5)
+    # parameters after the update agree across layouts
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s_fs.params)[0]),
+        np.asarray(jax.tree.leaves(s_rep.params)[0]),
+        atol=1e-6,
+    )
+    # second step consumes the (donated) FSDP state fine
+    s_fs, m_fs = step(s_fs, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(1))
+    assert np.isfinite(float(m_fs["loss"]))
