@@ -290,6 +290,23 @@ class DatasetLoader:
         poison_n = int(n * float(self.poison_rate))
         if clean_n + poison_n > n:
             raise ValueError("FLEX mode needs clean_rate + poison_rate <= 1")
+        if clean_n == 0 or poison_n == 0:
+            # HF train_test_split rejects a zero-sized side; with one side
+            # empty there is no HF ordering to reproduce, so a single-split
+            # (or trivial) permutation is the faithful fallback
+            if clean_n == poison_n == 0:
+                return np.arange(n)
+            nonzero = clean_n or poison_n
+            if nonzero == n:
+                sel, rest = np.arange(n), np.empty(0, np.int64)
+            else:
+                dd = idx.train_test_split(test_size=nonzero, seed=self.seed)
+                sel = np.asarray(dd["test"]["i"], np.int64)
+                rest = np.asarray(dd["train"]["i"], np.int64)
+            # FLEX tagging consumes perm[:clean_n] as clean then the next
+            # poison_n as poisoned; with one side empty the selected members
+            # lead in either case
+            return np.concatenate([sel, rest])
         dd = idx.train_test_split(train_size=clean_n, test_size=poison_n, seed=self.seed)
         clean = np.asarray(dd["train"]["i"], np.int64)
         poison = np.asarray(dd["test"]["i"], np.int64)

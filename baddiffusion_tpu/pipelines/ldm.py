@@ -34,6 +34,9 @@ class LDMPipeline:
         self.clip_sample = clip_sample
         self.default_inference_steps = 50
         self.hf_class_name = "LDMPipeline"
+        # optional UNet compute dtype override (--eval_dtype bf16); the VQ
+        # decode stays in the params' dtype (one call per batch, negligible)
+        self.compute_dtype = None
         self._jit_cache = {}
 
     # -- latent helpers (reference :44-67) --------------------------------------
@@ -50,12 +53,25 @@ class LDMPipeline:
         return (batch_size, cfg.sample_size, cfg.sample_size, cfg.in_channels)
 
     def _sample_fn(self, batch_size: int, num_inference_steps: int, capture_every):
-        cache_key = (batch_size, num_inference_steps, capture_every)
+        cast = self.compute_dtype
+        cache_key = (batch_size, num_inference_steps, capture_every,
+                     jnp.dtype(cast).name if cast is not None else None)
         if cache_key in self._jit_cache:
             return self._jit_cache[cache_key]
         scheduler = self.scheduler
         state = scheduler.set_timesteps(scheduler.create_state(), num_inference_steps)
-        apply_fn = lambda p, x, t: self.unet.apply({"params": p}, x, t)
+        unet = self.unet
+        if cast is not None and cast != unet.dtype:
+            unet = type(self.unet)(self.unet.config, dtype=cast)
+
+        def apply_fn(p, x, t):
+            if cast is not None:
+                p = jax.tree_util.tree_map(
+                    lambda a: a.astype(cast) if jnp.issubdtype(a.dtype, jnp.floating) else a, p
+                )
+            # scheduler math stays in the latent's dtype (f32)
+            return unet.apply({"params": p}, x, t).astype(x.dtype)
+
         clip = 1.0 if self.clip_sample else None
 
         @jax.jit

@@ -98,7 +98,11 @@ class DiffusionPipeline:
 
     # -- sampling ---------------------------------------------------------------
     def _sample_fn(self, batch_size: int, num_inference_steps: int, start_from: int, capture_every):
-        cache_key = (batch_size, num_inference_steps, start_from, capture_every)
+        # compute_dtype is mutable (load_pipeline_for_eval flips it post-init),
+        # so it must participate in the cache key or a later change would
+        # silently reuse the program compiled for the old dtype
+        cache_key = (batch_size, num_inference_steps, start_from, capture_every,
+                     jnp.dtype(self.compute_dtype).name if self.compute_dtype is not None else None)
         if cache_key in self._jit_cache:
             return self._jit_cache[cache_key]
 

@@ -54,9 +54,14 @@ def stage(name: str, root: str, n: int | None = None, seed: int = 4242) -> str:
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("names", nargs="*", default=list(SPECS), choices=list(SPECS) + [[]])
+    # no argparse `choices`: it validates the list default against the choice
+    # set as a whole and rejects the documented zero-arg usage
+    p.add_argument("names", nargs="*", default=[], metavar="{%s}" % ",".join(SPECS))
     p.add_argument("--n", type=int, default=None)
     p.add_argument("--root", default="datasets")
     a = p.parse_args()
+    unknown = [nm for nm in a.names if nm not in SPECS]
+    if unknown:
+        p.error(f"unknown dataset(s) {unknown}; choose from {list(SPECS)}")
     for nm in a.names or list(SPECS):
         stage(nm, a.root, a.n)

@@ -465,6 +465,21 @@ class TestHFSplitMethod:
         dsl.prepare_dataset(split_method="hf")
         assert not dsl._is_clean.any()
 
+    def test_flex_zero_sized_side(self):
+        """HF train_test_split rejects a zero-sized side; the hf split method
+        must handle clean_n or poison_n rounding to 0 like the seeded path
+        (e.g. the DEFAULT poison_rate 0.007 on a small dataset)."""
+        for cr, pr, want_n, want_poison in (
+            (0.5, 0.0, 20, 0),
+            (0.0, 0.25, 10, 10),
+            (1.0, 0.0, 40, 0),
+            (1.0, 0.007, 40, 0),  # int(40*0.007) == 0
+        ):
+            dsl = self._loader().set_poison("BOX_14", "CORNER", clean_rate=cr, poison_rate=pr)
+            dsl.prepare_dataset(mode=DatasetLoader.MODE_FLEX, split_method="hf")
+            assert len(dsl) == want_n
+            assert int((~dsl._is_clean).sum()) == want_poison
+
     def test_unknown_method_raises(self):
         dsl = self._loader().set_poison("BOX_14", "CORNER", poison_rate=0.2)
         with pytest.raises(ValueError, match="split_method"):

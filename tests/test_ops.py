@@ -134,7 +134,14 @@ class TestFusedGroupNormSiLUKernel:
 
         from baddiffusion_tpu.ops.groupnorm import fused_groupnorm_silu
 
-        x, scale, bias = self._data(b=8, h=32, w=32, c=128, seed=5, dtype=jnp.bfloat16)
+        # b=16 so the backward block picker (2 MiB budget, 512 KiB/row) finds
+        # no fitting multiple-of-8 block and falls back to bb=8 -> grid=(2,):
+        # the cross-block dscale/dbias accumulation genuinely executes (b=8
+        # would collapse to a single full-batch block and never test it)
+        x, scale, bias = self._data(b=16, h=32, w=32, c=128, seed=5, dtype=jnp.bfloat16)
+        from baddiffusion_tpu.ops.groupnorm import _pick_block_batch
+
+        assert _pick_block_batch(16, 32 * 32 * 128 * 4, budget=2 * 1024 * 1024) == 8
 
         def loss_fused(x, s, b):
             return jnp.sum(fused_groupnorm_silu(x, s, b, 32) ** 2)
