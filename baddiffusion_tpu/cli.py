@@ -205,7 +205,7 @@ def load_pipeline_for_eval(config: TrainingConfig):
         path, clip_sample=config.clip, noise_sched_type=config.sched, dtype=jnp.float32
     )
     pipeline = get_pipeline(params, scheduler)
-    if getattr(config, "eval_dtype", "fp32") == "bf16":
+    if config.eval_dtype == "bf16":
         pipeline.compute_dtype = jnp.bfloat16  # opt-in throughput mode (--eval_dtype bf16)
     return pipeline
 

@@ -81,7 +81,9 @@ def shard_state_fsdp(state, mesh: Mesh, min_size: int = 2**16):
     (every pytree leaf that mirrors a param shape gets that param's spec;
     scalars/schedule counters replicate). The jitted train step picks the
     layout up through sharding propagation — no step-function changes."""
-    axis_size = mesh.shape[next(iter(mesh.axis_names))]
+    from baddiffusion_tpu.parallel.mesh import DATA_AXIS
+
+    axis_size = mesh.shape[DATA_AXIS]  # the FSDP axis, not merely the first
     pspecs = fsdp_param_specs(state.params, axis_size, min_size)
     by_shape = {}
     for p, s in zip(jax.tree.leaves(state.params), jax.tree.leaves(pspecs)):

@@ -21,7 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from baddiffusion_tpu.pipelines.pipeline import MODEL_INDEX_NAME, PipelineOutput
-from baddiffusion_tpu.pipelines.sampler import sample_loop, to_images
+from baddiffusion_tpu.pipelines.sampler import (
+    cast_params,
+    dtype_cache_key,
+    ensure_on_device,
+    sample_loop,
+    to_images,
+)
 
 
 class LDMPipeline:
@@ -54,8 +60,7 @@ class LDMPipeline:
 
     def _sample_fn(self, batch_size: int, num_inference_steps: int, capture_every):
         cast = self.compute_dtype
-        cache_key = (batch_size, num_inference_steps, capture_every,
-                     jnp.dtype(cast).name if cast is not None else None)
+        cache_key = (batch_size, num_inference_steps, capture_every, dtype_cache_key(cast))
         if cache_key in self._jit_cache:
             return self._jit_cache[cache_key]
         scheduler = self.scheduler
@@ -65,12 +70,8 @@ class LDMPipeline:
             unet = type(self.unet)(self.unet.config, dtype=cast)
 
         def apply_fn(p, x, t):
-            if cast is not None:
-                p = jax.tree_util.tree_map(
-                    lambda a: a.astype(cast) if jnp.issubdtype(a.dtype, jnp.floating) else a, p
-                )
             # scheduler math stays in the latent's dtype (f32)
-            return unet.apply({"params": p}, x, t).astype(x.dtype)
+            return unet.apply({"params": cast_params(p, cast)}, x, t).astype(x.dtype)
 
         clip = 1.0 if self.clip_sample else None
 
@@ -115,10 +116,8 @@ class LDMPipeline:
             init = jnp.asarray(init, jnp.float32)
             batch_size = init.shape[0]
         run = self._sample_fn(batch_size, n, capture_every)
-        leaves = jax.tree_util.tree_leaves((self.params, self.vqvae_params))
-        if leaves and not isinstance(leaves[0], jax.Array):  # upload weights once
-            self.params = jax.device_put(self.params)
-            self.vqvae_params = jax.device_put(self.vqvae_params)
+        self.params = ensure_on_device(self.params)
+        self.vqvae_params = ensure_on_device(self.vqvae_params)
         images, movie = run(self.params, self.vqvae_params, init, key)
         return PipelineOutput(
             images=np.asarray(images), movie=None if movie is None else np.asarray(movie)

@@ -157,3 +157,27 @@ def to_images(sample: jnp.ndarray) -> jnp.ndarray:
     """[-1,1] model space → [0,1] image space (reference pipeline epilogue
     ``(x/2+0.5).clamp(0,1)``, pipeline_ddpm.py:115)."""
     return jnp.clip(sample / 2.0 + 0.5, 0.0, 1.0)
+
+
+def dtype_cache_key(cast) -> "str | None":
+    """Stable cache-key component for a mutable compute-dtype override."""
+    return jnp.dtype(cast).name if cast is not None else None
+
+
+def cast_params(params, cast):
+    """Cast floating param leaves to ``cast`` (no-op when cast is None)."""
+    if cast is None:
+        return params
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(cast) if jnp.issubdtype(a.dtype, jnp.floating) else a, params
+    )
+
+
+def ensure_on_device(params):
+    """Upload a host-numpy param pytree once; device-resident trees pass
+    through untouched (re-uploading ~450MB per sampling call dominates
+    wall-clock over the TPU tunnel)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    if leaves and not isinstance(leaves[0], jax.Array):
+        return jax.device_put(params)
+    return params
