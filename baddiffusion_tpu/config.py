@@ -246,6 +246,20 @@ def setup(argv: Optional[List[str]] = None) -> TrainingConfig:
         raise ValueError(f"batch size {config.batch} should be smaller or equal to {global_batch} for dataset {config.dataset}")
     config.gradient_accumulation_steps = int(global_batch // config.batch)
 
+    # Resume must continue the ORIGINAL lr schedule. The policy above sees
+    # config.ckpt = the run dir (never None), so resuming a scratch run would
+    # silently flip its base lr to the fine-tune default (2e-5 -> 8e-5 at
+    # 256px). The reference survives this because accelerate restores the
+    # LambdaLR state (baddiffusion.py:336-342); we rebuild the schedule from
+    # config, so restore the resolved lr persisted in the run's config.json.
+    if args.mode == MODE_RESUME and args.learning_rate is None:
+        cfg_path = os.path.join(args.ckpt, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                stored = json.load(f)
+            if stored.get("learning_rate") is not None:
+                config.learning_rate = float(stored["learning_rate"])
+
     if args.mode in (MODE_TRAIN, MODE_TRAIN_MEASURE):
         config.output_dir = os.path.join(config.result, naming_fn(config))
 

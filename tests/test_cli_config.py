@@ -96,6 +96,14 @@ class TestSetup:
         config = setup(train_args(tmp_path, ["--postfix", "r2", "--remat", "on"]))
         assert config.remat == "on"
 
+    def test_resume_keeps_scratch_learning_rate(self, tmp_path):
+        """Resuming a scratch run must not flip its lr to the fine-tune
+        default (the lr policy sees ckpt = the run dir, never None)."""
+        config = setup(train_args(tmp_path, ["--postfix", "lr0"]))
+        assert config.learning_rate == pytest.approx(2e-4)  # 32px scratch
+        resumed = setup(["--mode", "resume", "--ckpt", config.output_dir])
+        assert resumed.learning_rate == pytest.approx(2e-4)
+
     def test_param_sharding_flag(self, tmp_path):
         config = setup(train_args(tmp_path, ["--postfix", "ps0"]))
         assert config.param_sharding == "replicated"
