@@ -280,13 +280,14 @@ def run_measure(config: TrainingConfig, dsl: Optional[DatasetLoader] = None, res
     noise = np.asarray(jax.random.normal(key, shape, dtype=np.float32))
     backdoor_noise = noise + dsl.trigger[None]
 
+    steps_kw = {} if config.measure_steps is None else {"num_inference_steps": config.measure_steps}
     if not os.path.isdir(clean_path) or resample:
         batch_sampling_save(config.measure_sample_n, pipeline, clean_path, init=noise,
-                            max_batch_n=config.eval_max_batch, key=key)
+                            max_batch_n=config.eval_max_batch, key=key, **steps_kw)
         recomp_clean = True
     if not os.path.isdir(backdoor_path) or resample:
         batch_sampling_save(config.measure_sample_n, pipeline, backdoor_path, init=backdoor_noise,
-                            max_batch_n=config.eval_max_batch, key=key)
+                            max_batch_n=config.eval_max_batch, key=key, **steps_kw)
         recomp_backdoor = True
 
     fid_sc = mse_sc = ssim_sc = None

@@ -53,7 +53,7 @@ MODE_RESUME_OPTS = ["project", "mode", "gpu", "ckpt"]
 MODE_SAMPLING_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 MODE_MEASURE_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 IGNORE_ARGS = ["overwrite", "is_save_all_model_epochs"]
-EXTRA_OPTS = ["fake_size", "measure_sample_n", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat", "param_sharding"]
+EXTRA_OPTS = ["fake_size", "measure_sample_n", "measure_steps", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat", "param_sharding"]
 
 SCHED_CHOICES = [
     "DDPM-SCHED", "DDIM-SCHED",
@@ -127,6 +127,9 @@ class TrainingConfig:
     # optimizer state exceeds one chip's HBM). Single chip: no effect.
     param_sharding: str = "replicated"
     sampling_steps: int = 1000  # inference steps for train-time sample grids
+    # inference steps for MEASURE sampling; None = each pipeline's default
+    # (DDPM 1000, solver families 50 — reference measure never overrides)
+    measure_steps: Optional[int] = None
     profile_steps: int = 0  # >0: write a jax.profiler trace of N train steps
 
     def save_json(self, path: str) -> None:
@@ -184,6 +187,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--param_sharding", type=str, choices=["replicated", "fsdp"],
                         help="multi-chip parameter layout (fsdp = ZeRO-3-style sharded params+optimizer)")
     parser.add_argument("--measure_sample_n", type=int, help="override eval sample count (default 2048)")
+    parser.add_argument("--measure_steps", type=int, help="override measure-time inference steps (default: pipeline's)")
     parser.add_argument("--sampling_steps", type=int, help="inference steps for train-time sample grids")
     parser.add_argument("--profile_steps", type=int, help="write a jax.profiler trace of N train steps to <out>/profile")
     return parser

@@ -186,8 +186,22 @@ def get_model_sched(
     (model, params, scheduler, get_pipeline)."""
     clip = DiffuserModelSched.CLIP_SAMPLE_DEFAULT if clip_sample is None else clip_sample
     if model_type == DiffuserModelSched.MODEL_DEFAULT:
+        base_cfg = DEFAULT_SCRATCH_CONFIG
+        if os.environ.get("BADDIFFUSION_TINY_ARCH") == "1":
+            # CI hook: a 4-block-channel tiny UNet so the FULL CLI body
+            # (run_train -> trainer -> measure) is executable on the CPU
+            # backend in tests; never set in production
+            base_cfg = dataclasses.replace(
+                DEFAULT_SCRATCH_CONFIG,
+                layers_per_block=1,
+                block_out_channels=(8, 16),
+                down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+                up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+                norm_num_groups=4,
+                attention_head_dim=4,
+            )
         cfg = dataclasses.replace(
-            DEFAULT_SCRATCH_CONFIG, sample_size=image_size, in_channels=channels, out_channels=channels
+            base_cfg, sample_size=image_size, in_channels=channels, out_channels=channels
         )
         model = UNet2DModel(cfg, dtype=dtype)
         params = jax.jit(lambda k: model.init_params(k, image_size))(jax.random.PRNGKey(rng_seed))

@@ -1,0 +1,81 @@
+"""Full CLI body end-to-end on the CPU backend.
+
+Drives `cli.main()` — the exact production entry point (reference
+baddiffusion.py:651-679) — through train+measure and sampling with a tiny
+scratch arch (BADDIFFUSION_TINY_ARCH=1 factory hook) on the 8-virtual-device
+mesh, so run_train's mesh/FSDP branches, the trainer loop, checkpointing, and
+run_measure's score.json path all execute in CI rather than only on hardware.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def tiny_arch(monkeypatch):
+    monkeypatch.setenv("BADDIFFUSION_TINY_ARCH", "1")
+
+
+def _train_args(tmp_path, extra=()):
+    return [
+        "--mode", "train+measure", "--dataset", "FAKE", "--batch", "64",
+        "--epoch", "1", "--fake_size", "128", "--poison_rate", "0.25",
+        "--trigger", "BOX_14", "--target", "CORNER",
+        "--measure_sample_n", "8", "--eval_max_batch", "8",
+        "--sampling_steps", "4", "--measure_steps", "6",
+        "--save_image_epochs", "1", "--save_model_epochs", "1",
+        "--result", str(tmp_path), "-o", *extra,
+    ]
+
+
+class TestCLIEndToEnd:
+    def test_train_measure_sampling_roundtrip(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)  # measure/<DATASET> dump is cwd-relative
+        from baddiffusion_tpu import cli
+
+        cli.main(_train_args(tmp_path))
+        out = os.path.join(str(tmp_path), "res_None_FAKE_ep1_c1.0_p0.25_BOX_14-CORNER")
+
+        # artifact surface (reference layout)
+        for f in ("args.json", "config.json", "measure.json", "data.json",
+                  "model_index.json", "score.json"):
+            assert os.path.exists(os.path.join(out, f)), f
+        assert os.path.isdir(os.path.join(out, "unet"))
+        assert os.path.isdir(os.path.join(out, "samples"))
+        assert os.path.isdir(os.path.join(out, "backdoor_samples"))
+
+        with open(os.path.join(out, "score.json")) as f:
+            sc = json.load(f)
+        # proxy extractor offline -> FID_proxy key, never bare FID
+        assert any(k.startswith("FID_proxy") for k in sc)
+        assert not any(k == "FID_noclip" or k == "FID" for k in sc)
+        assert np.isfinite(sc["MSE_noclip"]) and np.isfinite(sc["SSIM_noclip"])
+
+        # sampling mode reloads args.json from the run dir
+        cli.main(["--mode", "sampling", "--ckpt", out])
+        assert os.path.exists(os.path.join(out, "sampling.json"))
+
+        # resume restores trainer state and re-runs the saved epoch (the
+        # reference's start_epoch semantics): the cumulative step counter
+        # advances past the original run's
+        with open(os.path.join(out, "data.json")) as f:
+            step_before = json.load(f)["step"]
+        cli.main(["--mode", "resume", "--ckpt", out])
+        with open(os.path.join(out, "data.json")) as f:
+            data = json.load(f)
+        assert data["step"] > step_before
+
+    def test_fsdp_cli_branch_on_mesh(self, tmp_path, monkeypatch):
+        """--param_sharding fsdp through the production run_train on the
+        8-device virtual mesh."""
+        monkeypatch.chdir(tmp_path)
+        from baddiffusion_tpu import cli
+
+        args = _train_args(tmp_path, ["--param_sharding", "fsdp", "--postfix", "fsdp"])
+        args[1] = "train"  # mode position: ["--mode", "train", ...]
+        cli.main(args)
+        out = os.path.join(str(tmp_path), "res_None_FAKE_ep1_c1.0_p0.25_BOX_14-CORNER_fsdp")
+        assert os.path.exists(os.path.join(out, "data.json"))
