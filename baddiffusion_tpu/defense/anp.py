@@ -22,7 +22,7 @@ anp_util.py:103-120).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,12 +32,16 @@ from baddiffusion_tpu.attack.loss import q_sample_backdoor, reduce_loss
 from baddiffusion_tpu.data.poison import poison_batch
 
 
-def _is_conv_kernel(path: Tuple, leaf) -> bool:
-    return path and path[-1] == "kernel" and getattr(leaf, "ndim", 0) == 4
-
-
 def init_perturb(params: Dict[str, Any]) -> Dict[str, Any]:
-    """γ=1, β=0 per conv output channel, mirroring the params tree structure."""
+    """γ=1, β=0 per conv output channel, mirroring the params tree structure.
+
+    β folds into the conv's bias (apply_perturb), so it is only allocated for
+    convs that HAVE a bias — a bias-less conv cannot express an additive
+    offset through merged params, and a dead β would silently receive zero
+    gradient while inflating the Adam state. (Unreachable divergence from the
+    reference's always-β PerturbConv2d today: every conv in the UNet2D family
+    here carries a bias — models/resnet.py:247 conv_shortcut_bias defaults
+    True and is never overridden.)"""
 
     def walk(node):
         out = {}
@@ -49,7 +53,8 @@ def init_perturb(params: Dict[str, Any]) -> Dict[str, Any]:
             elif name == "kernel" and value.ndim == 4:
                 o = value.shape[-1]
                 out["gamma"] = jnp.ones((o,), jnp.float32)
-                out["beta"] = jnp.zeros((o,), jnp.float32)
+                if "bias" in node:
+                    out["beta"] = jnp.zeros((o,), jnp.float32)
         return out
 
     return walk(params)

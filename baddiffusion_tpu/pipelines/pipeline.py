@@ -125,9 +125,18 @@ class DiffusionPipeline:
             return unet.apply({"params": cast_params(p, cast)}, x, t).astype(x.dtype)
 
         is_sde_ve = scheduler.hf_class_name == "ScoreSdeVeScheduler"
+        is_karras_ve = scheduler.hf_class_name == "KarrasVeScheduler"
 
         @jax.jit
         def run(params, init, key):
+            if is_karras_ve:
+                # KarrasVe's step signature (sigma_hat/sigma_prev args) is
+                # incompatible with the generic sample_loop; route to its own
+                # scan engine rather than letting registry dispatch compute
+                # garbage through the generic path
+                from baddiffusion_tpu.schedulers.karras_ve import sample_karras_ve
+
+                return sample_karras_ve(scheduler, state, apply_fn, params, init, key), None
             if is_sde_ve:
                 sample, movie = sample_sde_ve(
                     scheduler, state, apply_fn, params, init, key, capture_every=capture_every

@@ -206,7 +206,13 @@ class ConfigurableScheduler:
     @classmethod
     def from_config_dict(cls, payload: Dict[str, Any]) -> "ConfigurableScheduler":
         fields = {f.name for f in dataclasses.fields(cls.config_class)}
-        kwargs = {k: v for k, v in payload.items() if k in fields}
+        # JSON round-trip turns tuples into lists; convert back so loaded
+        # configs stay hashable (the jit-static contract) and saved == loaded
+        kwargs = {
+            k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in payload.items()
+            if k in fields
+        }
         return cls(cls.config_class(**kwargs))
 
     @classmethod

@@ -71,6 +71,14 @@ class DDIMScheduler(ConfigurableScheduler):
     def set_timesteps(self, state: DDIMState, num_inference_steps: int) -> DDIMState:
         ts = spaced_timesteps(self.config.num_train_timesteps, num_inference_steps)
         ts = ts + self.config.steps_offset
+        if ts.max() >= self.config.num_train_timesteps:
+            # fail loudly like the torch reference (which IndexErrors on the
+            # alphas_cumprod gather); JAX would silently clamp the OOB index
+            raise ValueError(
+                f"steps_offset={self.config.steps_offset} pushes timestep {int(ts.max())} "
+                f"past num_train_timesteps={self.config.num_train_timesteps}; lower "
+                "num_inference_steps or steps_offset"
+            )
         return state.replace(timesteps=jnp.asarray(ts), num_inference_steps=num_inference_steps)
 
     def scale_model_input(self, state: DDIMState, sample: jnp.ndarray, step_index=None) -> jnp.ndarray:

@@ -88,6 +88,13 @@ class PNDMScheduler(ConfigurableScheduler):
             prk = (prk_ts[:-1].repeat(2)[1:-1])[::-1].copy()
             plms = _ts[:-3][::-1].copy()
         ts = np.concatenate([prk, plms]).astype(np.int32)
+        if ts.size and ts.max() >= T:
+            # loud failure mirroring the torch reference's IndexError; JAX
+            # clamps OOB gathers silently (see ddim.set_timesteps)
+            raise ValueError(
+                f"steps_offset={cfg.steps_offset} pushes timestep {int(ts.max())} past "
+                f"num_train_timesteps={T}; lower num_inference_steps or steps_offset"
+            )
         return state.replace(
             timesteps=jnp.asarray(ts),
             num_inference_steps=num_inference_steps,

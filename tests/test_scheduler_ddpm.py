@@ -108,6 +108,17 @@ class TestDDPMGoldens:
         assert isinstance(loaded, DDPMScheduler)
         assert loaded.config == sched.config
 
+    def test_config_roundtrip_tuple_fields_stay_hashable(self, tmp_path):
+        """JSON turns tuples into lists; from_config_dict must convert back
+        so loaded schedulers keep the jit-static/hashable contract."""
+        from baddiffusion_tpu.schedulers import load_scheduler
+
+        sched = DDPMScheduler(DDPMConfig(trained_betas=(0.1, 0.2, 0.3)))
+        sched.save_config(str(tmp_path))
+        loaded = load_scheduler(str(tmp_path))
+        assert loaded.config == sched.config
+        hash(loaded.config)  # raises TypeError if a list slipped through
+
 
 class TestDDIM:
     def test_full_loop_matches_ddpm_marginals(self):
