@@ -100,6 +100,33 @@ def spaced_timesteps(num_train_timesteps: int, num_inference_steps: int) -> np.n
     return (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].astype(np.int32)
 
 
+def multistep_timesteps(num_train_timesteps: int, num_inference_steps: int) -> np.ndarray:
+    """'linspace'-spaced descending timesteps with order-preserving dedupe —
+    the multistep solver family's spacing (DPM-Solver/UniPC/DEIS,
+    scheduling_dpmsolver_multistep.py:197-201)."""
+    ts = (
+        np.linspace(0, num_train_timesteps - 1, num_inference_steps + 1)
+        .round()[::-1][:-1]
+        .astype(np.int64)
+    )
+    _, unique_idx = np.unique(ts, return_index=True)
+    return ts[np.sort(unique_idx)].astype(np.int32)
+
+
+def kdiffusion_sigma_table(alphas_cumprod: np.ndarray, num_inference_steps: int,
+                           num_train_timesteps: int):
+    """The k-diffusion continuous-sigma table shared by Heun and K-LMS
+    (scheduling_heun_discrete.py:105-119 / scheduling_lms_discrete.py:207-221):
+    float timesteps linspaced over the training range (descending) and
+    sigma(t)=sqrt((1-acp)/acp) linearly interpolated onto them, 0-terminated.
+    Returns (timesteps_f64_desc, sigmas_f32_with_trailing_zero)."""
+    ts = np.linspace(0, num_train_timesteps - 1, num_inference_steps, dtype=float)[::-1].copy()
+    sigmas = ((1 - alphas_cumprod) / alphas_cumprod) ** 0.5
+    sigmas = np.interp(ts, np.arange(0, len(sigmas)), sigmas)
+    sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+    return ts, sigmas
+
+
 def add_noise_common(alphas_cumprod: jnp.ndarray, original: jnp.ndarray, noise: jnp.ndarray, timesteps: jnp.ndarray) -> jnp.ndarray:
     """q(x_t | x_0) forward marginal: √ᾱ_t·x₀ + √(1−ᾱ_t)·ε, broadcast per-sample
     (reference scheduling_ddpm.py:422-443)."""

@@ -21,6 +21,7 @@ from baddiffusion_tpu.schedulers.base import (
     ConfigurableScheduler,
     DiffusionSchedule,
     register_scheduler,
+    kdiffusion_sigma_table,
 )
 
 
@@ -69,10 +70,7 @@ class HeunDiscreteScheduler(ConfigurableScheduler):
     def set_timesteps(self, state: HeunState, num_inference_steps: int) -> HeunState:
         T = self.config.num_train_timesteps
         acp = np.asarray(state.schedule.alphas_cumprod)
-        ts = np.linspace(0, T - 1, num_inference_steps, dtype=float)[::-1].copy()
-        sigmas = ((1 - acp) / acp) ** 0.5
-        sigmas = np.interp(ts, np.arange(0, len(sigmas)), sigmas)
-        sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+        ts, sigmas = kdiffusion_sigma_table(acp, num_inference_steps, T)
         sigmas = np.concatenate([sigmas[:1], np.repeat(sigmas[1:-1], 2), sigmas[-1:]])
         ts = np.concatenate([ts[:1], np.repeat(ts[1:], 2)]).astype(np.float32)
         return state.replace(

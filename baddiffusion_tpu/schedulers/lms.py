@@ -24,6 +24,7 @@ from baddiffusion_tpu.schedulers.base import (
     ConfigurableScheduler,
     DiffusionSchedule,
     register_scheduler,
+    kdiffusion_sigma_table,
 )
 
 LMS_ORDER = 4
@@ -97,10 +98,7 @@ class LMSDiscreteScheduler(ConfigurableScheduler):
     def set_timesteps(self, state: LMSState, num_inference_steps: int) -> LMSState:
         T = self.config.num_train_timesteps
         acp = np.asarray(state.schedule.alphas_cumprod)
-        ts = np.linspace(0, T - 1, num_inference_steps, dtype=float)[::-1].copy()
-        sigmas = ((1 - acp) / acp) ** 0.5
-        sigmas = np.interp(ts, np.arange(0, len(sigmas)), sigmas)
-        sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
+        ts, sigmas = kdiffusion_sigma_table(acp, num_inference_steps, T)
         coeffs = _coeff_table(sigmas, num_inference_steps)
         return state.replace(
             timesteps=jnp.asarray(ts.astype(np.float32)),

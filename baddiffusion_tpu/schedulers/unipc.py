@@ -27,6 +27,7 @@ from baddiffusion_tpu.schedulers.base import (
     DiffusionSchedule,
     add_noise_common,
     register_scheduler,
+    multistep_timesteps,
 )
 
 
@@ -86,9 +87,7 @@ class UniPCMultistepScheduler(ConfigurableScheduler):
 
     def set_timesteps(self, state: UniPCState, num_inference_steps: int) -> UniPCState:
         T = self.config.num_train_timesteps
-        ts = np.linspace(0, T - 1, num_inference_steps + 1).round()[::-1][:-1].astype(np.int64)
-        _, unique_idx = np.unique(ts, return_index=True)
-        ts = ts[np.sort(unique_idx)].astype(np.int32)
+        ts = multistep_timesteps(T, num_inference_steps)
         return state.replace(timesteps=jnp.asarray(ts), num_inference_steps=len(ts))
 
     def begin_sampling(self, state: UniPCState, sample: jnp.ndarray) -> UniPCState:
