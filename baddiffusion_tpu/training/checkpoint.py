@@ -8,15 +8,24 @@ checkpoint under ``<out>/ckpt`` + ``<out>/data.json``, and (2) is
 `DiffusionPipeline.save_pretrained(<out>)` — loadable by upstream diffusers.
 Optional per-epoch snapshots live under ``<out>/epochs/ep{n}``
 (baddiffusion.py:566-570).
+
+Multi-process discipline (beyond the single-host reference): sharded
+jax.Arrays go to orbax AS SHARDED ARRAYS — every process writes only its
+addressable shards and orbax coordinates the commit; nothing is gathered to
+one host. The HF export (which must be a plain safetensors file) first
+all-gathers params to a replicated layout via a jitted identity (XLA emits
+the collective over ICI/DCN), then process 0 alone writes; a global barrier
+closes every save so no process races ahead to read a half-written dir.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 CKPT_SUBDIR = "ckpt"
 DATA_JSON = "data.json"
@@ -28,9 +37,41 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def _barrier(tag: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def gather_tree_to_host(tree):
+    """numpy copies of a pytree that may hold multi-process-sharded arrays.
+
+    Fully-addressable trees (single process, or replicated state) transfer
+    directly; otherwise a jitted identity with replicated out_shardings makes
+    XLA all-gather the shards, after which every process can read the value.
+    """
+    leaves = [l for l in jax.tree.leaves(tree) if isinstance(l, jax.Array)]
+    if not any(not l.is_fully_addressable for l in leaves):
+        return jax.device_get(tree)
+    mesh = next(l.sharding.mesh for l in leaves if not l.is_fully_addressable)
+    gather = jax.jit(lambda t: t, out_shardings=NamedSharding(mesh, P()))
+    return jax.device_get(gather(tree))
+
+
 def save_trainer_state(out_dir: str, state, epoch: int) -> None:
-    """Write <out>/ckpt (orbax pytree) + <out>/data.json = {'epoch','step'}."""
-    os.makedirs(out_dir, exist_ok=True)
+    """Write <out>/ckpt (orbax pytree) + <out>/data.json = {'epoch','step'}.
+
+    ``state`` may hold sharded jax.Arrays; every process must call this with
+    the same structure (orbax writes per-process shards + one commit).
+    """
+    if _is_primary():
+        os.makedirs(out_dir, exist_ok=True)
+    _barrier("ckpt_dir")
     path = os.path.abspath(os.path.join(out_dir, CKPT_SUBDIR))
     ckptr = _checkpointer()
     import orbax.checkpoint as ocp
@@ -40,18 +81,39 @@ def save_trainer_state(out_dir: str, state, epoch: int) -> None:
     except TypeError:
         ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(out_dir, DATA_JSON), "w") as f:
-        json.dump({"epoch": int(epoch), "step": int(jax.device_get(state.step))}, f)
+    step = int(jax.device_get(state.step)) if hasattr(state, "step") else 0
+    if _is_primary():
+        with open(os.path.join(out_dir, DATA_JSON), "w") as f:
+            json.dump({"epoch": int(epoch), "step": step}, f)
+    _barrier("ckpt_done")
+
+
+def _abstract_template(tree):
+    """ShapeDtypeStructs carrying each leaf's sharding, so orbax restores
+    straight into the live layout (replicated or FSDP) without a host copy."""
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        if isinstance(x, jax.Array)
+        else x,
+        tree,
+    )
 
 
 def load_trainer_state(out_dir: str, state_template) -> Tuple[Any, int, int]:
     """Restore (state, start_epoch, start_step). start_epoch is the SAVED
     epoch, so resume re-runs the last checkpointed epoch — the reference's
-    exact quirk (baddiffusion.py:341,586: ``range(start_epoch, epochs)``)."""
+    exact quirk (baddiffusion.py:341,586: ``range(start_epoch, epochs)``).
+
+    If ``state_template`` holds placed jax.Arrays, arrays restore directly
+    into that sharding layout (multi-process-safe); a numpy template restores
+    to host numpy as before.
+    """
     path = os.path.abspath(os.path.join(out_dir, CKPT_SUBDIR))
     ckptr = _checkpointer()
     import orbax.checkpoint as ocp
 
+    if any(isinstance(l, jax.Array) for l in jax.tree.leaves(state_template)):
+        state_template = _abstract_template(state_template)
     try:
         state = ckptr.restore(path, state_template)
     except TypeError:
@@ -59,6 +121,31 @@ def load_trainer_state(out_dir: str, state_template) -> Tuple[Any, int, int]:
     with open(os.path.join(out_dir, DATA_JSON)) as f:
         data = json.load(f)
     return state, int(data["epoch"]), int(data["step"])
+
+
+def save_checkpoint(
+    out_dir: str,
+    state,
+    epoch: int,
+    make_pipeline: Optional[Callable] = None,
+    save_all_model_epochs: bool = False,
+) -> None:
+    """The reference's dual-format checkpoint (baddiffusion.py:558-570):
+    orbax trainer state + deployable HF pipeline layout, multi-process-safe.
+
+    ``make_pipeline(state_with_host_params)`` must return an object with
+    ``save_pretrained``; it receives params already gathered to host numpy so
+    the export never touches non-addressable shards.
+    """
+    save_trainer_state(out_dir, state, epoch)
+    if make_pipeline is not None:
+        host_params = gather_tree_to_host(state.params)
+        if _is_primary():
+            pipe = make_pipeline(state.replace(params=host_params))
+            pipe.save_pretrained(out_dir)
+            if save_all_model_epochs:
+                pipe.save_pretrained(ep_model_path(out_dir, epoch))
+        _barrier("hf_export")
 
 
 def has_trainer_state(out_dir: str) -> bool:

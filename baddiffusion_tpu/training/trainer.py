@@ -85,17 +85,15 @@ def train_loop(
 ):
     """Returns the final TrainState. Crash-tolerant: always checkpoints."""
     from baddiffusion_tpu.parallel.mesh import batch_sharding
-    from baddiffusion_tpu.training.checkpoint import ep_model_path, save_trainer_state
+    from baddiffusion_tpu.training.checkpoint import save_checkpoint
 
     base_key = jax.random.PRNGKey(seed)
     global_step = start_step
 
     def checkpoint(epoch: int) -> None:
-        save_trainer_state(out_dir, jax.device_get(state), epoch)
-        pipe = make_pipeline(state)
-        pipe.save_pretrained(out_dir)
-        if save_all_model_epochs:
-            pipe.save_pretrained(ep_model_path(out_dir, epoch))
+        # multi-process-safe: sharded arrays go to orbax as-is; the HF export
+        # gathers params and writes on process 0 only (checkpoint.py)
+        save_checkpoint(out_dir, state, epoch, make_pipeline, save_all_model_epochs)
 
     cur_epoch = start_epoch
     try:
@@ -130,15 +128,24 @@ def train_loop(
             # no sampling/checkpoint burst right after epoch 0
             if (epoch + 1) % save_image_epochs == 0 or epoch == epochs - 1:
                 try:
-                    sample_grids(
-                        make_pipeline(state),
-                        dsl.trigger,
-                        out_dir,
-                        epoch,
-                        sample_n=sample_n,
-                        num_inference_steps=sampling_steps,
-                        seed=seed,
-                    )
+                    # multi-process: every process joins the param gather
+                    # (a collective), then process 0 alone runs the sampler
+                    # on its local device and writes the grids
+                    st = state
+                    if jax.process_count() > 1:
+                        from baddiffusion_tpu.training.checkpoint import gather_tree_to_host
+
+                        st = state.replace(params=gather_tree_to_host(state.params))
+                    if jax.process_index() == 0:
+                        sample_grids(
+                            make_pipeline(st),
+                            dsl.trigger,
+                            out_dir,
+                            epoch,
+                            sample_n=sample_n,
+                            num_inference_steps=sampling_steps,
+                            seed=seed,
+                        )
                 except Exception:
                     Log.error("sampling failed:\n" + traceback.format_exc())
             if (epoch + 1) % save_model_epochs == 0 or epoch == epochs - 1:

@@ -1,64 +1,51 @@
-"""Worker process for the multi-host (multi-process) integration test.
+"""Worker process for the multi-host (multi-process) integration tests.
 
 Run as: python tests/multihost_worker.py <process_id> <num_processes> <port>
+            [<phase> <layout> <out_dir>]
 
 Each process owns 2 virtual CPU devices; together they form one global
 data-parallel mesh. The worker exercises the full multi-host recipe from
-`parallel/distributed.py` (SURVEY §2.4/§5.8):
+`parallel/distributed.py` (SURVEY §2.4/§5.8) plus the multi-process
+checkpoint/resume contract (training/checkpoint.py):
 
-  1. `initialize()` — jax.distributed over a local TCP coordinator;
-  2. global mesh over ALL processes' devices;
-  3. per-host batch rows via `host_shard_slice`, assembled into global
-     data-sharded arrays with `global_batch_from_host_shards`;
-  4. ONE full sharded backdoor train step (poison → q-sample → UNet fwd/bwd →
-     Adam) — XLA inserts the cross-process gradient all-reduce.
+  phase "train"  (default): shard-assembly asserts, TWO full sharded backdoor
+      train steps, then `save_checkpoint` — orbax writes the sharded state
+      (each process saves only its addressable shards) AND the HF export
+      gathers params and writes on process 0 only. Prints
+      "MULTIHOST_OK <loss0>" and "MULTIHOST_SAVED <loss1>".
+  phase "resume": a FRESH process (simulating restart after a kill) places a
+      template state into <layout>, restores the checkpoint directly into
+      that layout, runs step 2, and compares loss + final params BITWISE
+      against an uninterrupted 3-step run in the same layout. Prints
+      "MULTIHOST_RESUME_OK <loss2>".
 
-Prints "MULTIHOST_OK <loss>" on success; the losses must agree across
-processes (same SPMD program, same data).
+  layout: "replicated" (reference-parity DP) or "fsdp" (ZeRO-3: params +
+      Adam moments sharded over the data axis — the case where no single
+      process can address the whole state).
+
+The losses printed must agree across processes (same SPMD program, same
+data).
 """
 
 import os
 import sys
 
 
-def main() -> None:
-    proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-
-    from baddiffusion_tpu.parallel.distributed import (
-        global_batch_from_host_shards,
-        host_shard_slice,
-        initialize,
-    )
-
-    initialize(coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=proc_id)
-
+def build_world(layout: str):
+    """(mesh, model, optimizer, dsl, make_state, step, batches, make_pipeline)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from baddiffusion_tpu.data import DatasetLoader
-    from baddiffusion_tpu.parallel import make_mesh
+    from baddiffusion_tpu.models import UNet2DConfig, UNet2DModel
+    from baddiffusion_tpu.parallel import make_mesh, shard_state_fsdp
+    from baddiffusion_tpu.pipelines import DiffusionPipeline
     from baddiffusion_tpu.schedulers import DDPMConfig, DDPMScheduler
     from baddiffusion_tpu.training import create_train_state, make_optimizer, make_train_step
 
-    assert jax.process_count() == nproc, jax.process_count()
-    n_global = len(jax.devices())
-    assert n_global == 2 * nproc, jax.devices()
     mesh = make_mesh()
-
-    # shard-assembly check: addressable shards hold exactly this host's rows
-    total = 4 * nproc
-    data = np.arange(total * 3, dtype=np.float32).reshape(total, 3)
-    gb = global_batch_from_host_shards({"x": data[host_shard_slice(total)]}, mesh)
-    assert gb["x"].shape == (total, 3)
-    for shard in gb["x"].addressable_shards:
-        np.testing.assert_array_equal(np.asarray(shard.data), data[shard.index[0]])
-    assert abs(float(jax.jit(jnp.sum)(gb["x"])) - float(data.sum())) < 1e-4
-
-    # one full sharded train step with per-host data feeding
-    from baddiffusion_tpu.models import UNet2DConfig, UNet2DModel
+    n_global = len(jax.devices())
 
     cfg = UNet2DConfig(
         sample_size=16,
@@ -69,21 +56,22 @@ def main() -> None:
         norm_num_groups=4,
     )
     model = UNet2DModel(cfg, dtype=jnp.float32)
-    params = model.init_params(jax.random.PRNGKey(0), sample_size=16)  # identical on every host
     sched = DDPMScheduler(DDPMConfig())
     sstate = sched.create_state()
     optimizer, _ = make_optimizer(1e-3, num_warmup_steps=2, num_training_steps=10)
 
     batch_global = 2 * n_global
-    dsl = DatasetLoader(DatasetLoader.FAKE, image_size=16, batch_size=batch_global, fake_size=2 * batch_global)
+    dsl = DatasetLoader(
+        DatasetLoader.FAKE, image_size=16, batch_size=batch_global, fake_size=4 * batch_global
+    )
     dsl.set_poison("BOX_8", "CORNER", poison_rate=0.5).prepare_dataset()
 
-    state = create_train_state(params, optimizer, dsl.trigger, dsl.target, dsl.mask)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    # replicate the train state across the global mesh (every host provides
-    # the same value — SPMD discipline)
-    state = jax.device_put(state, NamedSharding(mesh, P()))
+    def make_state():
+        params = model.init_params(jax.random.PRNGKey(0), sample_size=16)  # same on every host
+        state = create_train_state(params, optimizer, dsl.trigger, dsl.target, dsl.mask)
+        if layout == "fsdp":
+            return shard_state_fsdp(state, mesh, optimizer, min_size=1)
+        return jax.device_put(state, NamedSharding(mesh, P()))
 
     step = make_train_step(
         model,
@@ -93,14 +81,102 @@ def main() -> None:
         sstate.schedule.alphas_cumprod,
         mesh=mesh,
     )
-    batch = next(dsl.epoch_batches(0))  # same seed → same global batch on every host
-    sl = host_shard_slice(batch_global)
+    batches = list(dsl.epoch_batches(0)) + list(dsl.epoch_batches(1))  # 8 deterministic batches
+
+    def make_pipeline(st):
+        return DiffusionPipeline(model, st.params, sched)
+
+    return mesh, dsl, make_state, step, batches, make_pipeline
+
+
+def feed(batch, mesh):
+    from baddiffusion_tpu.parallel.distributed import global_batch_from_host_shards, host_shard_slice
+
+    sl = host_shard_slice(batch["image_u8"].shape[0])
     local = {k: v[sl] for k, v in batch.items() if k != "label"}
-    gbatch = global_batch_from_host_shards(local, mesh)
-    state, metrics = step(state, gbatch["image_u8"], gbatch["is_clean"], jax.random.PRNGKey(0))
-    loss = float(jax.device_get(metrics["loss"]))
-    assert np.isfinite(loss), loss
-    print(f"MULTIHOST_OK {loss:.6f}", flush=True)
+    return global_batch_from_host_shards(local, mesh)
+
+
+def run_steps(state, step, batches, mesh, lo: int, hi: int):
+    import jax
+
+    losses = []
+    for i in range(lo, hi):
+        gb = feed(batches[i], mesh)
+        state, metrics = step(state, gb["image_u8"], gb["is_clean"], jax.random.PRNGKey(i))
+        losses.append(float(jax.device_get(metrics["loss"])))
+    return state, losses
+
+
+def main() -> None:
+    proc_id, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    phase = sys.argv[4] if len(sys.argv) > 4 else "train"
+    layout = sys.argv[5] if len(sys.argv) > 5 else "replicated"
+    out_dir = sys.argv[6] if len(sys.argv) > 6 else None
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    from baddiffusion_tpu.parallel.distributed import initialize
+
+    initialize(coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=proc_id)
+
+    import jax
+    import numpy as np
+
+    # compile cache: the same tiny programs recompile in every phase/launch
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_multihost")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    assert jax.process_count() == nproc, jax.process_count()
+    n_global = len(jax.devices())
+    assert n_global == 2 * nproc, jax.devices()
+
+    mesh, dsl, make_state, step, batches, make_pipeline = build_world(layout)
+
+    if phase == "train":
+        # shard-assembly check: addressable shards hold exactly this host's rows
+        from baddiffusion_tpu.parallel.distributed import global_batch_from_host_shards, host_shard_slice
+        import jax.numpy as jnp
+
+        total = 4 * nproc
+        data = np.arange(total * 3, dtype=np.float32).reshape(total, 3)
+        gb = global_batch_from_host_shards({"x": data[host_shard_slice(total)]}, mesh)
+        assert gb["x"].shape == (total, 3)
+        for shard in gb["x"].addressable_shards:
+            np.testing.assert_array_equal(np.asarray(shard.data), data[shard.index[0]])
+        assert abs(float(jax.jit(jnp.sum)(gb["x"])) - float(data.sum())) < 1e-4
+
+        state = make_state()
+        state, losses = run_steps(state, step, batches, mesh, 0, 2)
+        for loss in losses:
+            assert np.isfinite(loss), loss
+        print(f"MULTIHOST_OK {losses[0]:.6f}", flush=True)
+        if out_dir is not None:
+            from baddiffusion_tpu.training.checkpoint import save_checkpoint
+
+            save_checkpoint(out_dir, state, epoch=0, make_pipeline=make_pipeline)
+            # the HF export must exist (written by process 0, barrier'd)
+            assert os.path.exists(os.path.join(out_dir, "unet", "config.json")), out_dir
+            print(f"MULTIHOST_SAVED {losses[1]:.6f}", flush=True)
+
+    elif phase == "resume":
+        from baddiffusion_tpu.training.checkpoint import gather_tree_to_host, load_trainer_state
+
+        assert out_dir is not None
+        template = make_state()
+        state, epoch, gstep = load_trainer_state(out_dir, template)
+        assert epoch == 0 and gstep == 2, (epoch, gstep)
+        state, losses = run_steps(state, step, batches, mesh, 2, 3)
+
+        # uninterrupted 3-step run in the SAME layout: bitwise oracle
+        ref_state, ref_losses = run_steps(make_state(), step, batches, mesh, 0, 3)
+        assert losses[0] == ref_losses[2], (losses, ref_losses)
+        a = gather_tree_to_host(state.params)
+        b = gather_tree_to_host(ref_state.params)
+        jax.tree.map(lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)), a, b)
+        print(f"MULTIHOST_RESUME_OK {losses[0]:.6f}", flush=True)
+    else:
+        raise SystemExit(f"unknown phase {phase!r}")
 
 
 if __name__ == "__main__":

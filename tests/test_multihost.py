@@ -66,44 +66,75 @@ class TestGlobalBatchSingleProcess:
             np.testing.assert_array_equal(np.asarray(ga[k]), np.asarray(gb[k]))
 
 
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _launch(phase: str, layout: str, out_dir: str):
+    """Run 2 worker processes through one phase; return their stdouts."""
+    port = _free_port()
+    env = {**os.environ, "PYTHONPATH": REPO}
+    env.pop("JAX_PLATFORMS", None)  # worker sets its own
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
+             str(i), "2", str(port), phase, layout, out_dir],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            # generous bound: under pytest-xdist the host is oversubscribed
+            # and the two workers' XLA compiles can take several minutes
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"multihost worker timed out (phase={phase}, layout={layout})")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} ({phase}/{layout}) failed:\n{out[-3000:]}"
+    return outs
+
+
+def _marker_losses(outs, marker: str):
+    return [line.split()[1] for out in outs for line in out.splitlines() if line.startswith(marker)]
+
+
 @pytest.mark.reference
 class TestTwoProcessIntegration:
-    def _free_port(self) -> int:
-        s = socket.socket()
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-        s.close()
-        return port
+    @pytest.mark.parametrize("layout", ["replicated", "fsdp"])
+    def test_two_process_train_checkpoint_resume(self, layout, tmp_path):
+        """jax.distributed over 2 real local processes: shard assembly, two
+        full sharded backdoor train steps, a multi-process checkpoint (orbax
+        sharded save + process-0 HF export), then BOTH processes are gone and
+        a fresh pair restores INTO the same layout and continues — step-3
+        loss and final params bitwise-equal to an uninterrupted 3-step run.
 
-    def test_two_process_sharded_train_step(self):
-        """jax.distributed over 2 local processes: shard assembly + one full
-        data-parallel backdoor train step; losses must agree bitwise."""
-        port = self._free_port()
-        env = {**os.environ, "PYTHONPATH": REPO}
-        env.pop("JAX_PLATFORMS", None)  # worker sets its own
-        procs = [
-            subprocess.Popen(
-                [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"), str(i), "2", str(port)],
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                env=env,
-                text=True,
-            )
-            for i in range(2)
-        ]
-        outs = []
-        for p in procs:
-            try:
-                # generous bound: under pytest-xdist the host is oversubscribed
-                # and the two workers' XLA compiles can take several minutes
-                out, _ = p.communicate(timeout=900)
-            except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                pytest.fail("multihost worker timed out")
-            outs.append(out)
-        for i, (p, out) in enumerate(zip(procs, outs)):
-            assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
-        losses = [line.split()[1] for out in outs for line in out.splitlines() if line.startswith("MULTIHOST_OK")]
-        assert len(losses) == 2, outs
-        assert losses[0] == losses[1], losses
+        layout=fsdp is the case the round-2 review called out: params + Adam
+        moments are sharded so no single process can address the full state —
+        a naive device_get checkpoint would crash outright.
+        """
+        out_dir = str(tmp_path / f"run_{layout}")
+        outs = _launch("train", layout, out_dir)
+        ok = _marker_losses(outs, "MULTIHOST_OK")
+        saved = _marker_losses(outs, "MULTIHOST_SAVED")
+        assert len(ok) == 2 and ok[0] == ok[1], outs
+        assert len(saved) == 2 and saved[0] == saved[1], outs
+        # dual checkpoint format on disk (reference baddiffusion.py:558-570)
+        assert os.path.isdir(os.path.join(out_dir, "ckpt"))
+        assert os.path.exists(os.path.join(out_dir, "data.json"))
+        assert os.path.exists(os.path.join(out_dir, "unet", "config.json"))
+
+        outs = _launch("resume", layout, out_dir)
+        resumed = _marker_losses(outs, "MULTIHOST_RESUME_OK")
+        assert len(resumed) == 2 and resumed[0] == resumed[1], outs
