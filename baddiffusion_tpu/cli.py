@@ -115,28 +115,41 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
         num_training_steps=max(1, config.epoch * steps_per_epoch),
     )
     state = create_train_state(params, optimizer, dsl.trigger, dsl.target, dsl.mask)
-    start_epoch = start_step = 0
-    if resume and has_trainer_state(config.output_dir):
-        state, start_epoch, start_step = load_trainer_state(config.output_dir, jax.device_get(state))
-        Log.info(f"resumed from epoch {start_epoch}, step {start_step}")
 
-    # data-parallel mesh over every visible chip (the reference's --gpu
-    # DataParallel analog, but as one SPMD program; single chip → no mesh)
-    from baddiffusion_tpu.parallel import make_mesh
+    # mesh over every visible chip (the reference's --gpu DataParallel analog,
+    # but as one SPMD program; single chip → no mesh). --model_parallel m
+    # builds a 2-D (data=N/m, model=m) mesh; --param_sharding fsdp composes
+    # on the same mesh's data axis (sharding_rules.train_state_specs).
+    from baddiffusion_tpu.parallel import make_mesh, place_train_state
+    from baddiffusion_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
     n_dev = len(jax.devices())
-    mesh = make_mesh() if n_dev > 1 else None
-    if mesh is not None:
-        Log.info(f"data-parallel mesh over {n_dev} devices")
+    mp = max(1, config.model_parallel)
+    mesh = None
+    if n_dev > 1:
+        if mp > 1:
+            if n_dev % mp:
+                raise ValueError(f"--model_parallel {mp} does not divide {n_dev} devices")
+            mesh = make_mesh(shape=(n_dev // mp, mp), axis_names=(DATA_AXIS, MODEL_AXIS))
+            Log.info(f"2-D mesh: data={n_dev // mp} × model={mp}")
+        else:
+            mesh = make_mesh()
+            Log.info(f"data-parallel mesh over {n_dev} devices")
+        # place the full TrainState into its composed layout (replicated /
+        # TP / FSDP / TP+FSDP); the jitted step's in_shardings=None slots
+        # infer the layout from the arrays — GSPMD inserts the collectives
+        state = place_train_state(state, optimizer, mesh, config.param_sharding)
         if config.param_sharding == "fsdp":
-            # ZeRO-3 layout: the jitted step's in_shardings=None slots infer
-            # the layout from the state arrays, so sharding the state is all
-            # it takes — GSPMD inserts all-gather/reduce-scatter
-            from baddiffusion_tpu.parallel import shard_state_fsdp
-
-            state = shard_state_fsdp(state, mesh)
             Log.info("FSDP parameter layout (params + optimizer sharded over data axis)")
 
+    start_epoch = start_step = 0
+    if resume and has_trainer_state(config.output_dir):
+        # the placed state is the restore template: arrays land directly in
+        # the live sharding layout — multi-process-safe (no host gather)
+        state, start_epoch, start_step = load_trainer_state(config.output_dir, state)
+        Log.info(f"resumed from epoch {start_epoch}, step {start_step}")
+
+    data_size = mesh.shape[DATA_AXIS] if mesh is not None else 1
     train_step = make_train_step(
         model,
         optimizer,
@@ -146,11 +159,15 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
         grad_accum=config.gradient_accumulation_steps,
         mesh=mesh,
         # remat only where activations would actually exceed HBM: measured on
-        # v5e (16 GiB), the 256px no-remat step fits through micro-batch 16
-        # (<=10 GiB temp) and is +28% faster at the canonical micro-batch 4
-        # (2804 vs 3603 ms per global-64 step; examples/mfu_analysis.py)
+        # v5e (16 GiB), the 256px no-remat step fits through PER-CHIP
+        # micro-batch 16 (<=10 GiB temp) and is +28% faster at the canonical
+        # micro-batch 4 (2804 vs 3603 ms per global-64 step;
+        # examples/mfu_analysis.py). On a data mesh each chip sees
+        # batch/data_size rows, so the auto condition uses that. Calibrated
+        # on a 16 GiB v5e — on smaller-HBM parts use --remat on if
+        # compilation OOMs.
         use_remat={"on": True, "off": False}.get(
-            config.remat, dsl.image_size >= 256 and config.batch > 16
+            config.remat, dsl.image_size >= 256 and -(-config.batch // data_size) > 16
         ),
     )
 
@@ -269,9 +286,9 @@ def run_measure(config: TrainingConfig, dsl: Optional[DatasetLoader] = None, res
 
     recomp_clean = recomp_backdoor = recomp
     if not os.path.isdir(dataset_img_dir):
-        rng = np.random.RandomState(config.seed)
-        order = rng.permutation(len(dsl))[: config.measure_sample_n]
-        imgs01 = dsl._images[order].astype(np.float32) / 255.0
+        # membership matches the reference's ds.shuffle(seed)[:n] dump
+        # (baddiffusion.py:489,503-508) — see DatasetLoader.real_image_sample
+        imgs01 = dsl.real_image_sample(config.measure_sample_n).astype(np.float32) / 255.0
         save_images(imgs01, dataset_img_dir)
         recomp_clean = True
 

@@ -53,7 +53,7 @@ MODE_RESUME_OPTS = ["project", "mode", "gpu", "ckpt"]
 MODE_SAMPLING_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 MODE_MEASURE_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 IGNORE_ARGS = ["overwrite", "is_save_all_model_epochs"]
-EXTRA_OPTS = ["fake_size", "measure_sample_n", "measure_steps", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat", "param_sharding"]
+EXTRA_OPTS = ["fake_size", "measure_sample_n", "measure_steps", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat", "param_sharding", "model_parallel"]
 
 SCHED_CHOICES = [
     "DDPM-SCHED", "DDIM-SCHED",
@@ -126,6 +126,11 @@ class TrainingConfig:
     # data axis, GSPMD all-gathers on use — the scale path for models whose
     # optimizer state exceeds one chip's HBM). Single chip: no effect.
     param_sharding: str = "replicated"
+    # size of the tensor-parallel ``model`` mesh axis (1 = pure DP). With
+    # N devices and model_parallel=m, the CLI builds a 2-D (data=N/m, model=m)
+    # mesh: wide UNet kernels shard over ``model`` (sharding_rules.py) and
+    # --param_sharding fsdp composes on the same mesh's data axis.
+    model_parallel: int = 1
     sampling_steps: int = 1000  # inference steps for train-time sample grids
     # inference steps for MEASURE sampling; None = each pipeline's default
     # (DDPM 1000, solver families 50 — reference measure never overrides)
@@ -186,6 +191,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="train-step rematerialization (default auto: only when activations exceed HBM)")
     parser.add_argument("--param_sharding", type=str, choices=["replicated", "fsdp"],
                         help="multi-chip parameter layout (fsdp = ZeRO-3-style sharded params+optimizer)")
+    parser.add_argument("--model_parallel", type=int,
+                        help="tensor-parallel axis size; N devices become a 2-D (data=N/m, model=m) mesh")
     parser.add_argument("--measure_sample_n", type=int, help="override eval sample count (default 2048)")
     parser.add_argument("--measure_steps", type=int, help="override measure-time inference steps (default: pipeline's)")
     parser.add_argument("--sampling_steps", type=int, help="inference steps for train-time sample grids")

@@ -5,8 +5,10 @@ from baddiffusion_tpu.parallel.distributed import (
 )
 from baddiffusion_tpu.parallel.sharding_rules import (
     fsdp_param_specs,
+    place_train_state,
     shard_params,
     shard_state_fsdp,
+    train_state_specs,
     unet_param_specs,
 )
 from baddiffusion_tpu.parallel.mesh import (
@@ -28,4 +30,6 @@ __all__ = [
     "shard_params",
     "fsdp_param_specs",
     "shard_state_fsdp",
+    "train_state_specs",
+    "place_train_state",
 ]

@@ -46,57 +46,101 @@ def shard_params(params: Dict[str, Any], mesh: Mesh, threshold: int = 256) -> Di
     )
 
 
+def _add_fsdp_axis(leaf, spec: P, data_size: int, min_size: int) -> P:
+    """Extend a (possibly TP-sharded) leaf spec with a DATA-axis shard on its
+    largest still-unsharded, mesh-divisible dimension. Leaves smaller than
+    ``min_size`` elements stay as-is — gathering tiny tensors costs more
+    latency than the memory they'd save."""
+    from baddiffusion_tpu.parallel.mesh import DATA_AXIS
+
+    if leaf.size < min_size:
+        return spec
+    ext = tuple(spec) + (None,) * (leaf.ndim - len(spec))
+    for d in sorted(range(leaf.ndim), key=lambda d: leaf.shape[d], reverse=True):
+        if ext[d] is None and leaf.shape[d] % data_size == 0:
+            return P(*(DATA_AXIS if i == d else ext[i] for i in range(leaf.ndim)))
+    return spec
+
+
 def fsdp_param_specs(
     params: Dict[str, Any], axis_size: int, min_size: int = 2**16, axis: str = None
 ) -> Dict[str, Any]:
     """ZeRO-3-style fully-sharded specs: each large leaf shards its largest
     mesh-divisible dimension over the DATA axis (params and Adam moments
     live split across chips; GSPMD inserts the per-layer all-gather on use
-    and reduce-scatters gradients). Leaves smaller than ``min_size`` elements
-    stay replicated — gathering tiny tensors costs more latency than the
-    memory they'd save.
+    and reduce-scatters gradients).
 
     Beyond reference parity (the reference is replicated-DP only): this is
     the TPU-native scale path for models whose f32 params + Adam moments
     exceed a single chip's HBM.
     """
+
+    return jax.tree.map(lambda l: _add_fsdp_axis(l, P(), axis_size, min_size), params)
+
+
+def train_state_specs(
+    state,
+    optimizer,
+    mesh: Mesh,
+    param_sharding: str = "replicated",
+    tp_threshold: int = 256,
+    fsdp_min_size: int = 2**16,
+):
+    """PartitionSpec pytree for a full TrainState on ``mesh``.
+
+    Composes the two parameter layouts on one mesh:
+      * TP (when the mesh has a >1 ``model`` axis): wide kernels shard their
+        output-channel dim over ``model`` (unet_param_specs);
+      * FSDP (``param_sharding == "fsdp"``): every large leaf additionally
+        shards its largest free dim over ``data``.
+
+    Optimizer-state specs are derived STRUCTURALLY via optax.tree_map_params —
+    only leaves that genuinely mirror the param tree (Adam mu/nu) inherit the
+    param spec; counters and any non-moment leaf replicate, regardless of
+    coincidental shape matches.
+    """
     from baddiffusion_tpu.parallel.mesh import DATA_AXIS
 
-    axis = axis or DATA_AXIS
+    import optax
 
-    def spec_for(leaf):
-        if leaf.size < min_size:
-            return P()
-        dims = sorted(range(leaf.ndim), key=lambda d: leaf.shape[d], reverse=True)
-        for d in dims:
-            if leaf.shape[d] % axis_size == 0:
-                return P(*([None] * d), axis)
-        return P()
-
-    return jax.tree.map(spec_for, params)
-
-
-def shard_state_fsdp(state, mesh: Mesh, min_size: int = 2**16):
-    """Place a TrainState's params AND optimizer state into the FSDP layout
-    (every pytree leaf that mirrors a param shape gets that param's spec;
-    scalars/schedule counters replicate). The jitted train step picks the
-    layout up through sharding propagation — no step-function changes."""
-    from baddiffusion_tpu.parallel.mesh import DATA_AXIS
-
-    axis_size = mesh.shape[DATA_AXIS]  # the FSDP axis, not merely the first
-    pspecs = fsdp_param_specs(state.params, axis_size, min_size)
-    by_shape = {}
-    for p, s in zip(jax.tree.leaves(state.params), jax.tree.leaves(pspecs)):
-        by_shape.setdefault(p.shape, s)
-
-    def put_params(p, s):
-        return jax.device_put(p, NamedSharding(mesh, s))
-
-    def put_opt(leaf):
-        spec = by_shape.get(getattr(leaf, "shape", ()), P())
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
-
+    has_tp = MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
+    if has_tp:
+        pspecs = unet_param_specs(state.params, tp_threshold)
+    else:
+        pspecs = jax.tree.map(lambda _: P(), state.params)
+    if param_sharding == "fsdp":
+        data_size = mesh.shape[DATA_AXIS]
+        pspecs = jax.tree.map(
+            lambda l, s: _add_fsdp_axis(l, s, data_size, fsdp_min_size), state.params, pspecs
+        )
+    ospecs = optax.tree_map_params(
+        optimizer, lambda _, s: s, state.opt_state, pspecs, transform_non_params=lambda _: P()
+    )
     return state.replace(
-        params=jax.tree.map(put_params, state.params, pspecs),
-        opt_state=jax.tree.map(put_opt, state.opt_state),
+        step=P(), params=pspecs, opt_state=ospecs, trigger=P(), target=P(), mask=P()
+    )
+
+
+def place_train_state(
+    state,
+    optimizer,
+    mesh: Mesh,
+    param_sharding: str = "replicated",
+    tp_threshold: int = 256,
+    fsdp_min_size: int = 2**16,
+):
+    """device_put the whole TrainState into its composed mesh layout. The
+    jitted train step picks the layout up through sharding propagation — no
+    step-function changes."""
+    specs = train_state_specs(state, optimizer, mesh, param_sharding, tp_threshold, fsdp_min_size)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
+    )
+
+
+def shard_state_fsdp(state, mesh: Mesh, optimizer, min_size: int = 2**16, tp_threshold: int = 256):
+    """FSDP placement of a TrainState (composes with TP if the mesh has a
+    ``model`` axis). See train_state_specs for the layout rules."""
+    return place_train_state(
+        state, optimizer, mesh, "fsdp", tp_threshold=tp_threshold, fsdp_min_size=min_size
     )

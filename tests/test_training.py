@@ -192,7 +192,8 @@ def test_fsdp_state_sharding_and_step():
     # fresh state in FSDP layout (min_size=1: tiny model, shard everything
     # divisible so the layout is actually exercised)
     _, state2, _, _, _ = make_bits(batch_size=16, mesh=mesh)
-    fs = shard_state_fsdp(state2, mesh, min_size=1)
+    optimizer, _ = make_optimizer(1e-3, num_warmup_steps=10, num_training_steps=100)
+    fs = shard_state_fsdp(state2, mesh, optimizer, min_size=1)
     specs = fsdp_param_specs(state2.params, 8, min_size=1)
     sharded_leaves = [
         (p, s) for p, s in zip(jax.tree.leaves(fs.params), jax.tree.leaves(specs))
