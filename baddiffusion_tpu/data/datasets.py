@@ -29,12 +29,17 @@ DEFAULT_SIZES = {"MNIST": 32, "CIFAR10": 32, "CELEBA": 64, "CELEBA-HQ": 256, "LS
 HF_NAMES = {"MNIST": "mnist", "CIFAR10": "cifar10", "CELEBA": "student/celebA", "CELEBA-HQ": "huggan/CelebA-HQ"}
 
 
-def _fake_images(n: int, size: int, channel: int, seed: int = 1234) -> np.ndarray:
+def _fake_images(n: int, size: int, channel: int, seed: int = 1234, out=None) -> np.ndarray:
     """Deterministic procedural images: smooth color gradients + a bright
-    blob, enough structure for the loss/metrics to be meaningful offline."""
+    blob, enough structure for the loss/metrics to be meaningful offline.
+    ``out`` (uint8 [n,size,size,channel], e.g. a memmap) lets arbitrarily
+    large datasets stream to disk without a full-size RAM buffer; the pixel
+    values are identical either way (same per-image RNG draw order)."""
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / max(size - 1, 1)
-    imgs = np.zeros((n, size, size, channel), np.float32)
+    if out is None:
+        out = np.zeros((n, size, size, channel), np.uint8)
+    img = np.zeros((size, size, channel), np.float32)
     for i in range(n):
         freq = rng.uniform(0.5, 3.0, size=(channel,))
         phase = rng.uniform(0, 2 * np.pi, size=(channel, 2))
@@ -44,8 +49,37 @@ def _fake_images(n: int, size: int, channel: int, seed: int = 1234) -> np.ndarra
             wave = 0.5 + 0.25 * np.sin(2 * np.pi * freq[c] * xx + phase[c, 0]) * np.cos(
                 2 * np.pi * freq[c] * yy + phase[c, 1]
             )
-            imgs[i, :, :, c] = np.clip(wave + 0.4 * blob, 0, 1)
-    return (imgs * 255).round().astype(np.uint8)
+            img[:, :, c] = np.clip(wave + 0.4 * blob, 0, 1)
+        out[i] = (img * 255).round().astype(np.uint8)
+    return out
+
+
+def _mmap_cache_path(root: Optional[str], key: str) -> str:
+    """Path of the one-time decode cache (<root>/.decoded/<key>.npy)."""
+    d = os.path.join(root or "datasets", ".decoded")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, key + ".npy")
+
+
+def _build_memmap(cache: str, shape, fill) -> np.ndarray:
+    """Decode-once → read-forever: ``fill(out)`` writes into a fresh .npy
+    memmap (atomically installed via os.replace), then the store is reopened
+    read-only with mmap — the OS page cache streams batches, so host RAM
+    stays bounded at any dataset size (the reference achieves the same bound
+    with lazy per-batch decode, dataset.py:195-201,271-273)."""
+    if not os.path.exists(cache):
+        tmp = cache + ".tmp"
+        out = np.lib.format.open_memmap(tmp, mode="w+", dtype=np.uint8, shape=shape)
+        fill(out)
+        out.flush()
+        del out
+        os.replace(tmp, cache)
+    store = np.load(cache, mmap_mode="r")
+    if store.shape != tuple(shape):
+        raise ValueError(
+            f"stale decode cache {cache}: has {store.shape}, need {tuple(shape)}; delete it"
+        )
+    return store
 
 
 def _load_hf_dataset(name: str, root: Optional[str] = None):
@@ -54,15 +88,21 @@ def _load_hf_dataset(name: str, root: Optional[str] = None):
 
     Offline staging: a `Dataset.save_to_disk` directory under
     ``{root}/{NAME}`` or ``{root}/{hf_name}`` is preferred; otherwise the HF
-    datasets cache is consulted (offline mode — no downloads)."""
+    datasets cache is consulted (offline mode — no downloads). Staged-only
+    datasets (LSUN-CHURCH / LSUN-BEDROOM — the reference declares them but
+    has no load path either, dataset.py:79-92) MUST be staged; the error
+    says how."""
     os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
     import datasets as hfds
 
-    hf_name = HF_NAMES[name]
-    merge_test = name not in ("CELEBA", "CELEBA-HQ")
+    hf_name = HF_NAMES.get(name)
+    merge_test = name in ("MNIST", "CIFAR10")
 
-    for cand in ([] if root is None else [os.path.join(root, name), os.path.join(root, hf_name.replace("/", "--"))]):
+    cands = [] if root is None else [os.path.join(root, name)]
+    if root is not None and hf_name is not None:
+        cands.append(os.path.join(root, hf_name.replace("/", "--")))
+    for cand in cands:
         if os.path.isdir(cand) and (
             os.path.exists(os.path.join(cand, "dataset_info.json"))
             or os.path.exists(os.path.join(cand, "dataset_dict.json"))
@@ -72,6 +112,12 @@ def _load_hf_dataset(name: str, root: Optional[str] = None):
                 parts = [obj["train"]] + ([obj["test"]] if merge_test and "test" in obj else [])
                 return hfds.concatenate_datasets(parts) if len(parts) > 1 else parts[0]
             return obj
+    if hf_name is None:
+        raise FileNotFoundError(
+            f"{name} has no hub fetch path; stage it offline with "
+            f"datasets.Dataset.save_to_disk('{root or 'datasets'}/{name}') "
+            "(see scripts/stage_real_assets.sh)"
+        )
     if merge_test:
         return hfds.concatenate_datasets(
             [hfds.load_dataset(hf_name, split="train"), hfds.load_dataset(hf_name, split="test")]
@@ -82,10 +128,12 @@ def _load_hf_dataset(name: str, root: Optional[str] = None):
 def _decode_hf_dataset(
     name: str, size: int, channel: int, max_ram_bytes: int = 8 << 30, root: Optional[str] = None
 ) -> Dict[str, np.ndarray]:
-    """Load an HF dataset (train+test merged, dataset.py:79-92) and eagerly
-    decode to uint8 NHWC. Decoding runs on a thread pool (PIL releases the
-    GIL); datasets whose decoded size exceeds ``max_ram_bytes`` raise with
-    guidance rather than silently swapping. Raises offline if not cached."""
+    """Load an HF dataset (train+test merged, dataset.py:79-92) and decode to
+    uint8 NHWC. Decoding runs on a thread pool (PIL releases the GIL). Small
+    datasets decode eagerly to RAM; above ``max_ram_bytes`` the decode
+    streams once into a disk cache and the store is a read-only memmap, so
+    LSUN-scale datasets train with bounded host RAM. Raises offline if not
+    cached."""
     from concurrent.futures import ThreadPoolExecutor
 
     from PIL import Image
@@ -94,12 +142,10 @@ def _decode_hf_dataset(
     img_key = "img" if "img" in ds.column_names else "image"
 
     n = len(ds)
-    total = n * size * size * channel
-    if total > max_ram_bytes:
-        raise MemoryError(
-            f"decoded {name} would need {total / 2**30:.1f} GiB (> {max_ram_bytes / 2**30:.0f} GiB); "
-            "reduce image_size or add a disk-backed loader"
-        )
+    if "label" in ds.column_names:
+        labels = np.asarray(ds["label"], np.float32)
+    else:
+        labels = np.full((n,), -1, np.float32)
 
     def decode(rec):
         img = rec[img_key]
@@ -107,13 +153,21 @@ def _decode_hf_dataset(
         if img.size != (size, size):
             img = img.resize((size, size), Image.BILINEAR)
         arr = np.asarray(img, dtype=np.uint8)
-        arr = arr[..., None] if arr.ndim == 2 else arr
-        return arr, rec.get("label", -1)
+        return arr[..., None] if arr.ndim == 2 else arr
 
-    with ThreadPoolExecutor() as pool:
-        decoded = list(pool.map(decode, ds))  # single pass: records decode once
-    images = np.stack([d[0] for d in decoded])
-    labels = np.asarray([d[1] for d in decoded], np.float32)
+    total = n * size * size * channel
+    if total > max_ram_bytes:
+        def fill(out, chunk=1024):
+            with ThreadPoolExecutor() as pool:
+                for start in range(0, n, chunk):
+                    recs = ds.select(range(start, min(start + chunk, n)))
+                    out[start : start + len(recs)] = np.stack(list(pool.map(decode, recs)))
+
+        cache = _mmap_cache_path(root, f"{name.replace('/', '--')}_{size}x{channel}_n{n}")
+        images = _build_memmap(cache, (n, size, size, channel), fill)
+    else:
+        with ThreadPoolExecutor() as pool:
+            images = np.stack(list(pool.map(decode, ds)))  # single pass: records decode once
     return {"images": images, "labels": labels}
 
 
@@ -169,6 +223,7 @@ class DatasetLoader:
         fake_size: int = 512,
         hflip: bool = True,
         drop_last: bool = True,
+        max_ram_bytes: Optional[int] = None,
     ):
         self.name = name
         self.root = root
@@ -179,31 +234,72 @@ class DatasetLoader:
         self.hflip = hflip
         self.drop_last = drop_last
         self.label_filter = None if label is None else ([label] if isinstance(label, int) else list(label))
+        # RAM cap for eager decode; above it the images live in a read-only
+        # disk memmap (decode-once cache). Env override (BADDIFF_MAX_RAM_BYTES)
+        # lets tests force the mmap path on tiny data.
+        if max_ram_bytes is None:
+            max_ram_bytes = int(os.environ.get("BADDIFF_MAX_RAM_BYTES", 8 << 30))
+        self.max_ram_bytes = max_ram_bytes
 
         key = name if name in DEFAULT_CHANNELS else "FAKE"
         self.channel = channel or DEFAULT_CHANNELS.get(key, 3)
         self.image_size = image_size or DEFAULT_SIZES.get(key, 32)
 
         if name == self.FAKE:
-            data = _fake_images(fake_size, self.image_size, self.channel)
-            self._images, self._labels = data, np.full((len(data),), -1, np.float32)
-        elif name in HF_NAMES:
-            data = _decode_hf_dataset(name, self.image_size, self.channel, root=root)
-            self._images, self._labels = data["images"], data["labels"]
+            total = fake_size * self.image_size**2 * self.channel
+            if total > self.max_ram_bytes:
+                cache = _mmap_cache_path(root, f"FAKE_{self.image_size}x{self.channel}_n{fake_size}")
+                shape = (fake_size, self.image_size, self.image_size, self.channel)
+                store = _build_memmap(
+                    cache, shape, lambda out: _fake_images(fake_size, self.image_size, self.channel, out=out)
+                )
+            else:
+                store = _fake_images(fake_size, self.image_size, self.channel)
+            self._store, self._labels_store = store, np.full((len(store),), -1, np.float32)
+        elif name in HF_NAMES or name in (self.LSUN_CHURCH, self.LSUN_BEDROOM):
+            # LSUN: staged save_to_disk dirs only (the reference declares the
+            # names but has no load path either, dataset.py:79-92); the
+            # memmap spill above the RAM cap is what makes their scale train
+            data = _decode_hf_dataset(
+                name, self.image_size, self.channel, max_ram_bytes=self.max_ram_bytes, root=root
+            )
+            self._store, self._labels_store = data["images"], data["labels"]
         elif os.path.isdir(name):
             data = _decode_image_dir(name, self.image_size, self.channel)
-            self._images, self._labels = data["images"], data["labels"]
+            self._store, self._labels_store = data["images"], data["labels"]
         else:
             raise NotImplementedError(f"Undefined dataset: {name}")
 
+        # records are addressed through an index indirection so that label
+        # filtering and FLEX subsetting never materialize a memmap-backed
+        # store in RAM
+        self._index = np.arange(len(self._store), dtype=np.int64)
         if self.label_filter is not None:
-            keep = np.isin(self._labels, self.label_filter)
-            self._images, self._labels = self._images[keep], self._labels[keep]
+            keep = np.isin(self._labels_store, self.label_filter)
+            self._index = self._index[keep]
 
         self.trigger = self.target = self.mask = None
         self.clean_rate, self.poison_rate = 1.0, None
         self._is_clean: Optional[np.ndarray] = None
         self.backdoor = Backdoor(root=root or ".")
+
+    @property
+    def _images(self) -> np.ndarray:
+        """Materialized image view (small datasets / tests). Streaming access
+        should go through ``_store[self._index[...]]`` instead."""
+        if len(self._index) == len(self._store) and np.array_equal(
+            self._index, np.arange(len(self._store))
+        ):
+            return self._store
+        return self._store[self._index]
+
+    @property
+    def _labels(self) -> np.ndarray:
+        return self._labels_store[self._index]
+
+    @property
+    def is_memmap_backed(self) -> bool:
+        return isinstance(self._store, np.memmap)
 
     # -- poisoning --------------------------------------------------------------
     def set_poison(
@@ -239,7 +335,7 @@ class DatasetLoader:
             run is impossible in principle; this option matches what the
             reference WOULD produce if seeded.
         """
-        n = len(self._images)
+        n = len(self._index)
         if split_method == "hf":
             perm = self._hf_split_permutation(n, mode)
         elif split_method == "seeded":
@@ -264,8 +360,7 @@ class DatasetLoader:
                 raise ValueError("FLEX mode needs clean_rate + poison_rate <= 1")
             keep = perm[: clean_n + poison_n]
             is_clean_kept = np.concatenate([np.ones(clean_n, bool), np.zeros(poison_n, bool)])
-            self._images = self._images[keep]
-            self._labels = self._labels[keep]
+            self._index = self._index[keep]  # indirection only — no materialization
             is_clean = is_clean_kept
         else:
             raise NotImplementedError(f"Argument mode: {mode} isn't defined")
@@ -316,7 +411,7 @@ class DatasetLoader:
 
     # -- access -------------------------------------------------------------------
     def __len__(self) -> int:
-        return len(self._images)
+        return len(self._index)
 
     @property
     def num_batch(self) -> int:
@@ -325,10 +420,19 @@ class DatasetLoader:
 
     def get_raw(self, idx) -> Dict[str, np.ndarray]:
         return {
-            "image_u8": self._images[idx],
+            "image_u8": self._store[self._index[idx]],
             "is_clean": self._is_clean[idx],
-            "label": self._labels[idx],
+            "label": self._labels_store[self._index[idx]],
         }
+
+    def real_image_sample(self, n: int) -> np.ndarray:
+        """uint8 [n,H,W,C]: the real-image set the reference's measure dump
+        uses (baddiffusion.py:489: ``get_dataset().shuffle(seed)`` then the
+        first n records). HF ``Dataset.shuffle(seed)`` draws its permutation
+        from ``np.random.default_rng(seed)``, reproduced here directly so
+        membership bit-matches a reference run with the same seed."""
+        order = np.random.default_rng(self.seed).permutation(len(self))[:n]
+        return self._store[self._index[order]]
 
     def get_sample(self, idx: int) -> Dict[str, np.ndarray]:
         """One materialized record with the reference schema (for
@@ -336,7 +440,7 @@ class DatasetLoader:
         from baddiffusion_tpu.data.poison import poison_batch_host
 
         rec = poison_batch_host(
-            self._images[idx : idx + 1],
+            self._store[self._index[idx : idx + 1]],
             self._is_clean[idx : idx + 1],
             self.trigger,
             self.target,
@@ -344,7 +448,7 @@ class DatasetLoader:
             self.vmin,
             self.vmax,
         )
-        rec["label"] = self._labels[idx : idx + 1]
+        rec["label"] = self._labels_store[self._index[idx : idx + 1]]
         return {k: v[0] for k, v in rec.items()}
 
     def epoch_batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
@@ -359,15 +463,16 @@ class DatasetLoader:
         stop = n - (n % bs) if self.drop_last else n
         for start in range(0, stop, bs):
             idx = order[start : start + bs]
-            imgs = self._images[idx]
+            # memmap-backed stores stream here: only this batch's pages are
+            # read (gather copies them to a fresh RAM array)
+            imgs = self._store[self._index[idx]]
             if self.hflip:
                 flips = rng.rand(len(idx)) < 0.5
-                imgs = imgs.copy()
                 imgs[flips] = imgs[flips, :, ::-1]
             yield {
                 "image_u8": imgs,
                 "is_clean": self._is_clean[idx],
-                "label": self._labels[idx],
+                "label": self._labels_store[self._index[idx]],
             }
 
     def get_dataloader(self, epochs: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:

@@ -358,15 +358,22 @@ class TestHFDatasetPath:
         assert out["images"].shape == (5, 32, 32, 1)
         assert np.all(out["labels"] == -1)  # no label column
 
-    def test_ram_guard(self, monkeypatch):
+    def test_ram_cap_spills_to_disk(self, monkeypatch, tmp_path):
+        """Above the RAM cap the HF decode streams into a .npy memmap cache
+        instead of raising (round-2 behavior) — LSUN-scale sets become
+        loadable with bounded host RAM."""
         import datasets as hfds
 
         from baddiffusion_tpu.data.datasets import _decode_hf_dataset
 
         train = hfds.Dataset.from_dict({"img": _make_pil_images(2, 8)})
         monkeypatch.setattr("datasets.load_dataset", lambda name, split: train)
-        with pytest.raises(MemoryError, match="GiB"):
-            _decode_hf_dataset("CELEBA-HQ", size=256, channel=3, max_ram_bytes=1024)
+        out = _decode_hf_dataset("CELEBA-HQ", size=256, channel=3, max_ram_bytes=1024, root=str(tmp_path))
+        assert isinstance(out["images"], np.memmap)
+        assert out["images"].shape == (2, 256, 256, 3)
+        # eager decode of the same records matches the spilled bytes
+        ram = _decode_hf_dataset("CELEBA-HQ", size=256, channel=3, max_ram_bytes=1 << 30, root=str(tmp_path))
+        np.testing.assert_array_equal(np.asarray(out["images"]), ram["images"])
 
     def test_dataset_loader_end_to_end_over_hf(self, monkeypatch):
         """DatasetLoader('MNIST') through decode → poison → batches."""
@@ -484,3 +491,93 @@ class TestHFSplitMethod:
         dsl = self._loader().set_poison("BOX_14", "CORNER", poison_rate=0.2)
         with pytest.raises(ValueError, match="split_method"):
             dsl.prepare_dataset(split_method="bogus")
+
+
+class TestStreamingStore:
+    """Disk-backed (memmap) dataset path: selected automatically above the
+    RAM cap, bitwise-identical batches, no materialization under FLEX/label
+    filtering (the reference bounds RAM with lazy per-batch decode,
+    dataset.py:195-201,271-273; here: decode-once .npy cache + OS page
+    cache)."""
+
+    def test_mmap_forced_path_matches_ram(self, tmp_path):
+        ram = DatasetLoader(DatasetLoader.FAKE, image_size=16, batch_size=8, fake_size=32)
+        mm = DatasetLoader(
+            DatasetLoader.FAKE, image_size=16, batch_size=8, fake_size=32,
+            root=str(tmp_path), max_ram_bytes=1,
+        )
+        assert not ram.is_memmap_backed
+        assert mm.is_memmap_backed
+        for d in (ram, mm):
+            d.set_poison("BOX_8", "CORNER", poison_rate=0.5).prepare_dataset()
+        for a, b in zip(ram.epoch_batches(0), mm.epoch_batches(0)):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+    def test_mmap_cache_reused_and_validated(self, tmp_path):
+        mk = lambda: DatasetLoader(
+            DatasetLoader.FAKE, image_size=16, batch_size=8, fake_size=32,
+            root=str(tmp_path), max_ram_bytes=1,
+        )
+        a, b = mk(), mk()  # second construction must reuse the cache file
+        cache_dir = tmp_path / ".decoded"
+        assert len(list(cache_dir.glob("*.npy"))) == 1
+        np.testing.assert_array_equal(np.asarray(a._store), np.asarray(b._store))
+
+    def test_flex_and_label_filter_stay_memmap(self, tmp_path):
+        mm = DatasetLoader(
+            DatasetLoader.FAKE, image_size=16, batch_size=4, fake_size=32,
+            root=str(tmp_path), max_ram_bytes=1,
+        )
+        mm.set_poison("BOX_8", "CORNER", clean_rate=0.5, poison_rate=0.25)
+        mm.prepare_dataset(mode=DatasetLoader.MODE_FLEX)
+        assert mm.is_memmap_backed  # subsetting went through _index only
+        assert len(mm) == 24
+        batch = next(mm.epoch_batches(0))
+        assert batch["image_u8"].shape == (4, 16, 16, 1 if mm.channel == 1 else mm.channel)
+
+    def test_env_override_forces_mmap(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("BADDIFF_MAX_RAM_BYTES", "1")
+        mm = DatasetLoader(
+            DatasetLoader.FAKE, image_size=16, batch_size=8, fake_size=32, root=str(tmp_path)
+        )
+        assert mm.is_memmap_backed
+
+
+class TestRealImageSample:
+    def test_matches_hf_shuffle_membership(self):
+        """real_image_sample must reproduce the reference's measure dump
+        membership: ds.shuffle(seed) then first n (baddiffusion.py:489)."""
+        import datasets as hfds
+
+        dsl = DatasetLoader(DatasetLoader.FAKE, image_size=16, batch_size=8, fake_size=24, seed=7)
+        dsl.set_poison("BOX_8", "CORNER", poison_rate=0.25).prepare_dataset()
+        got = dsl.real_image_sample(10)
+        ds = hfds.Dataset.from_dict({"i": list(range(24))}).shuffle(seed=7)
+        want_idx = np.asarray(ds["i"][:10])
+        np.testing.assert_array_equal(got, dsl._store[dsl._index[want_idx]])
+
+
+class TestLSUNStagedPath:
+    """LSUN-CHURCH/LSUN-BEDROOM are staged-only (the reference declares them
+    in its defaults tables but its __load_dataset raises for them too,
+    dataset.py:79-92): a save_to_disk dir under {root}/{NAME} loads; absent
+    staging raises with staging guidance rather than a bare
+    NotImplementedError."""
+
+    def test_staged_lsun_loads(self, tmp_path):
+        import datasets as hfds
+
+        ds = hfds.Dataset.from_dict({"image": _make_pil_images(6, 64)})
+        ds.save_to_disk(str(tmp_path / "LSUN-CHURCH"))
+        dsl = DatasetLoader(
+            DatasetLoader.LSUN_CHURCH, root=str(tmp_path), image_size=32, batch_size=2
+        )
+        assert dsl.channel == 3 and len(dsl) == 6
+        dsl.set_poison("BOX_14", "CORNER", poison_rate=0.5).prepare_dataset()
+        batch = next(dsl.epoch_batches(0))
+        assert batch["image_u8"].shape == (2, 32, 32, 3)
+
+    def test_unstaged_lsun_raises_with_guidance(self, tmp_path):
+        with pytest.raises(FileNotFoundError, match="save_to_disk"):
+            DatasetLoader(DatasetLoader.LSUN_BEDROOM, root=str(tmp_path), image_size=32)
