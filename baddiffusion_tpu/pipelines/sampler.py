@@ -36,7 +36,6 @@ def sample_loop(
     start_from: int = 0,
     clip_each_step: Optional[float] = None,
     capture_every: Optional[int] = None,
-    clip_defense: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the reverse chain from ``init``; returns (final_sample, movie).
 
@@ -61,8 +60,8 @@ def sample_loop(
         st, sample, _x0 = scheduler.step(st, eps, i, sample, sub)
         if clip_each_step is not None:
             sample = jnp.clip(sample, -clip_each_step, clip_each_step)
-        if clip_defense is not None:
-            sample = jnp.clip(sample, -clip_defense, clip_defense)
+        # (the reference's clip_defense knob lives in DDPMConfig.clip_defense —
+        # applied inside DDPMScheduler.step — not here)
         return sample, st, k
 
     indices = jnp.arange(start_from, n)

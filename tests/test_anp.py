@@ -103,3 +103,206 @@ def test_anp_step_increases_clean_loss():
     # params stayed frozen; only perturb moved, within budget
     for leaf in jax.tree.leaves(perturb):
         assert float(jnp.max(jnp.abs(leaf))) <= 4.0 + 1e-6
+
+
+import os
+import sys
+
+import pytest
+
+
+@pytest.mark.reference
+class TestANPParityVsReference:
+    """Step-for-step oracle against the reference's ANP perturbed-model layer
+    (anp_model.py:152-206,490-514 PerturbConv2d + degenerate BN;
+    anp_util.py:60-101 convert_model/freeze): the param-tree formulation here
+    must match module surgery there — forward at init, forward after setting
+    γ/β, and a 3-step Adam trajectory of the −clean-loss objective
+    (anp_defense.py:147 loss = −p_losses; :148-157 backward → grad-clip 1.0 →
+    Adam → clip_weight ±budget)."""
+
+    def _import_reference_anp(self):
+        import types
+        import importlib.machinery
+
+        from tests.reference_utils import import_reference_diffusers
+        from tests.torchvision_shim import install
+
+        install()
+        # anp_config imports wandb (unused in the oracle path)
+        if "wandb" not in sys.modules:
+            wandb = types.ModuleType("wandb")
+            wandb.__spec__ = importlib.machinery.ModuleSpec("wandb", None)
+            wandb.init = wandb.log = wandb.finish = lambda *a, **k: None
+            sys.modules["wandb"] = wandb
+        import_reference_diffusers()
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        from anp_model import PerturbConv2d  # noqa: F401 (import check)
+        from anp_util import convert_model, freeze
+
+        return convert_model, freeze
+
+    def _torch_net(self, torch, seed=0):
+        torch.manual_seed(seed)
+
+        class Sub(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = torch.nn.Conv2d(8, 8, 3, padding=1)
+
+            def forward(self, x):
+                return torch.nn.functional.silu(self.conv(x))
+
+        class TinyNet(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = torch.nn.Conv2d(3, 8, 3, padding=1)
+                self.block = Sub()
+                self.conv_out = torch.nn.Conv2d(8, 3, 3, padding=1)
+
+            def forward(self, x):
+                h = torch.nn.functional.silu(self.conv1(x))
+                h = self.block(h)
+                return self.conv_out(h)
+
+        return TinyNet()
+
+    def _jax_params_from_torch(self, net):
+        def cv(conv):
+            return {
+                "kernel": jnp.asarray(conv.weight.detach().numpy().transpose(2, 3, 1, 0)),
+                "bias": jnp.asarray(conv.bias.detach().numpy()),
+            }
+
+        return {
+            "conv1": cv(net.conv1),
+            "block": {"conv": cv(net.block.conv)},
+            "conv_out": cv(net.conv_out),
+        }
+
+    @staticmethod
+    def _jax_apply(params, x):
+        def conv(p, h):
+            return (
+                jax.lax.conv_general_dilated(
+                    h, p["kernel"], (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                + p["bias"]
+            )
+
+        h = jax.nn.silu(conv(params["conv1"], x))
+        h = jax.nn.silu(conv(params["block"]["conv"], h))
+        return conv(params["conv_out"], h)
+
+    def _perturb_modules(self, pnet):
+        """The reference's perturbed convs in deterministic (name-sorted) order."""
+        from anp_model import PerturbConv2d
+
+        return sorted(
+            ((n, m) for n, m in pnet.named_modules() if isinstance(m, PerturbConv2d)),
+            key=lambda nm: nm[0],
+        )
+
+    def test_forward_parity_at_init_and_after_setting(self):
+        import torch
+
+        convert_model, freeze = self._import_reference_anp()
+        net = self._torch_net(torch)
+        params = self._jax_params_from_torch(net)
+
+        x_t = torch.randn(2, 3, 16, 16, generator=torch.Generator().manual_seed(1))
+        x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1))
+        with torch.no_grad():
+            base = net(x_t).numpy()
+
+        pnet = convert_model(freeze(net))
+        with torch.no_grad():
+            at_init = pnet(x_t).numpy()
+        # the reference's diff_output identity (anp_util.py:103-120)
+        np.testing.assert_allclose(at_init, base, atol=1e-6)
+
+        perturb = init_perturb(params)
+        merged = apply_perturb(params, perturb)
+        ours = np.asarray(self._jax_apply(merged, x_j)).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, base, atol=1e-5)
+
+        # set distinct γ/β per conv on BOTH sides
+        rng = np.random.RandomState(3)
+        path_of = {"conv1": ("conv1",), "block.conv": ("block", "conv"), "conv_out": ("conv_out",)}
+        for name, mod in self._perturb_modules(pnet):
+            g = rng.uniform(0.5, 1.5, mod.bn.weight.shape[0]).astype(np.float32)
+            b = rng.uniform(-0.2, 0.2, mod.bn.bias.shape[0]).astype(np.float32)
+            with torch.no_grad():
+                mod.bn.weight.copy_(torch.from_numpy(g))
+                mod.bn.bias.copy_(torch.from_numpy(b))
+            node = perturb
+            for k in path_of[name][:-1]:
+                node = node[k]
+            node[path_of[name][-1]]["gamma"] = jnp.asarray(g)
+            node[path_of[name][-1]]["beta"] = jnp.asarray(b)
+
+        with torch.no_grad():
+            ref_out = pnet(x_t).numpy()
+        ours = np.asarray(self._jax_apply(apply_perturb(params, perturb), x_j)).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, ref_out, atol=1e-4, rtol=1e-4)
+
+    def test_adam_trajectory_parity(self):
+        import optax
+        import torch
+
+        convert_model, freeze = self._import_reference_anp()
+        net = self._torch_net(torch)
+        params = self._jax_params_from_torch(net)
+        pnet = convert_model(freeze(net))
+
+        gen = torch.Generator().manual_seed(2)
+        xs = [torch.randn(4, 3, 16, 16, generator=gen) for _ in range(3)]
+        ys = [torch.randn(4, 3, 16, 16, generator=gen) for _ in range(3)]
+
+        lr, budget = 0.05, 0.08  # small budget so the clamp actually engages
+        bn_params = [p for n, p in pnet.named_parameters() if "bn" in n]
+        assert len(bn_params) == 6  # γ+β per conv (anp_util.py:132-134)
+        optim = torch.optim.Adam(bn_params, lr=lr)
+        for x, y in zip(xs, ys):
+            optim.zero_grad()
+            loss = -torch.nn.functional.mse_loss(pnet(x), y)  # −clean-loss
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(bn_params, 1.0)
+            optim.step()
+            # reference clip_weight (anp_defense.py:68-75)
+            with torch.no_grad():
+                for p in bn_params:
+                    p.clamp_(-budget, budget)
+
+        perturb = init_perturb(params)
+        opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+        opt_state = opt.init(perturb)
+
+        def loss_fn(q, x, y):
+            pred = self._jax_apply(apply_perturb(params, q), x)
+            return -jnp.mean((pred - y) ** 2)
+
+        for x, y in zip(xs, ys):
+            xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+            yj = jnp.asarray(y.numpy().transpose(0, 2, 3, 1))
+            grads = jax.grad(loss_fn)(perturb, xj, yj)
+            updates, opt_state = opt.update(grads, opt_state, perturb)
+            perturb = optax.apply_updates(perturb, updates)
+            perturb = clip_perturb(perturb, budget)
+
+        path_of = {"conv1": ("conv1",), "block.conv": ("block", "conv"), "conv_out": ("conv_out",)}
+        for name, mod in self._perturb_modules(pnet):
+            node = perturb
+            for k in path_of[name]:
+                node = node[k]
+            np.testing.assert_allclose(
+                np.asarray(node["gamma"]), mod.bn.weight.detach().numpy(), atol=1e-4, rtol=1e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(node["beta"]), mod.bn.bias.detach().numpy(), atol=1e-4, rtol=1e-4
+            )
+        # budget engaged: at least one parameter sits on the clamp boundary
+        flat = np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(perturb)])
+        assert np.any(np.isclose(np.abs(flat), budget, atol=1e-6)), "clamp never engaged — weak test"
