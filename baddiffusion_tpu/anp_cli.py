@@ -173,8 +173,19 @@ def main(argv=None):
     # pin the frozen base params on device ONCE: passing the host pytree into
     # the jitted step re-uploads ~0.5 GB every iteration, which over the TPU
     # tunnel dominates the step (measured 12-20 s/step on the 113.7M model vs
-    # ~0.1 s with device-resident params) — same fix as the sampling path
-    params = jax.device_put(params)
+    # ~0.1 s with device-resident params) — same fix as the sampling path.
+    # On a multi-chip mesh, pin in the REPLICATED mesh layout the jitted step
+    # consumes, or the uncommitted single-device tree would re-broadcast over
+    # ICI every step.
+    from baddiffusion_tpu.parallel import make_mesh
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+    else:
+        params = jax.device_put(params)
     sstate = scheduler.create_state()
     perturb = init_perturb(params)
 
@@ -187,9 +198,6 @@ def main(argv=None):
         optimizer, lr_schedule = make_optimizer(config.learning_rate, schedule="constant", grad_clip=1.0)
     opt_state = optimizer.init(perturb)
 
-    from baddiffusion_tpu.parallel import make_mesh
-
-    mesh = make_mesh() if len(jax.devices()) > 1 else None
     step_fn = make_anp_step(
         model, optimizer, scheduler.config.num_train_timesteps,
         sstate.schedule.alphas, sstate.schedule.alphas_cumprod,

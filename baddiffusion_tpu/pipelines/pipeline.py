@@ -126,6 +126,12 @@ class DiffusionPipeline:
 
         is_sde_ve = scheduler.hf_class_name == "ScoreSdeVeScheduler"
         is_karras_ve = scheduler.hf_class_name == "KarrasVeScheduler"
+        if is_karras_ve and capture_every is not None:
+            # fail loud rather than silently returning movie=None: KarrasVe
+            # runs its own scan engine without trajectory capture
+            raise NotImplementedError(
+                "KarrasVe sampling does not support movie capture (capture_every/save_every_step)"
+            )
 
         @jax.jit
         def run(params, init, key):
