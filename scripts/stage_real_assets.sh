@@ -4,13 +4,74 @@
 # downloads must run wherever egress exists; afterwards every currently-gated
 # test and the bare-`FID` score path activate with no code changes.
 #
+# Usage:
+#   stage_real_assets.sh [ASSETS_DIR]            # download everything
+#   stage_real_assets.sh --dry-run [ASSETS_DIR]  # validate an existing staging
+#                                                # layout (no network needed)
+#
 # Reference contracts:
 #   pytorch-fid InceptionV3 weights -> fid_score.py:53 (pt_inception-2015-12-05)
 #   google/ddpm-* checkpoints       -> model.py:700-711 alias table
 #   HF datasets                     -> dataset.py:82-90
 set -euo pipefail
 
+DRY_RUN=0
+if [[ "${1:-}" == "--dry-run" ]]; then
+  DRY_RUN=1
+  shift
+fi
 ASSETS="${1:-$HOME/baddiffusion_assets}"
+
+if [[ "$DRY_RUN" == "1" ]]; then
+  # Layout self-check: verifies the staged tree has exactly the files the
+  # gated code paths will look for. Exits nonzero listing anything missing.
+  python - "$ASSETS" <<'EOF'
+import os
+import sys
+
+root = sys.argv[1]
+missing = []
+
+def need(path, desc):
+    if not os.path.exists(path):
+        missing.append(f"  {path}  ({desc})")
+
+need(os.path.join(root, "pt_inception-2015-12-05-6726825d.pth"),
+     "FID weights -> export BADDIFFUSION_FID_WEIGHTS")
+for repo in ("google--ddpm-cifar10-32", "google--ddpm-ema-celebahq-256"):
+    d = os.path.join(root, "ckpts", repo)
+    need(os.path.join(d, "model_index.json"), "HF pipeline index")
+    need(os.path.join(d, "unet", "config.json"), "UNet config")
+    ok_weights = any(
+        os.path.exists(os.path.join(d, "unet", w))
+        for w in ("diffusion_pytorch_model.bin", "diffusion_pytorch_model.safetensors")
+    )
+    if not ok_weights:
+        missing.append(f"  {d}/unet/diffusion_pytorch_model.(bin|safetensors)  (UNet weights)")
+    need(os.path.join(d, "scheduler", "scheduler_config.json"), "scheduler config")
+for name in ("CIFAR10", "MNIST", "CELEBA-HQ"):
+    d = os.path.join(root, "datasets", name)
+    if not (os.path.exists(os.path.join(d, "dataset_info.json"))
+            or os.path.exists(os.path.join(d, "dataset_dict.json"))):
+        missing.append(f"  {d}  (save_to_disk dataset dir)")
+# optional staged-only datasets (data/datasets.py LSUN path)
+for name in ("LSUN-CHURCH", "LSUN-BEDROOM"):
+    d = os.path.join(root, "datasets", name)
+    if os.path.isdir(d) and not (
+        os.path.exists(os.path.join(d, "dataset_info.json"))
+        or os.path.exists(os.path.join(d, "dataset_dict.json"))
+    ):
+        missing.append(f"  {d}  (present but not a save_to_disk dir)")
+
+if missing:
+    print("staging layout INCOMPLETE under", root)
+    print("\n".join(missing))
+    sys.exit(1)
+print("staging layout OK under", root)
+EOF
+  exit $?
+fi
+
 mkdir -p "$ASSETS/ckpts" "$ASSETS/datasets"
 
 # 1. FID InceptionV3 weights (pytorch-fid's port of the TF-FID network).
@@ -36,6 +97,9 @@ export BADDIFFUSION_CKPT_DIR="$ASSETS/ckpts"
 # 3. Datasets, staged through save_to_disk (the loader prefers these dirs —
 #    data/datasets.py:_load_hf_dataset; see examples/stage_fake_datasets.py
 #    for the offline procedural stand-ins used when egress is unavailable).
+#    LSUN-CHURCH/LSUN-BEDROOM are staged-only: save any image dataset as
+#    {root}/datasets/LSUN-CHURCH the same way and the loader streams it via
+#    the memmap decode cache at any size.
 python - "$ASSETS/datasets" <<'EOF'
 import sys
 import datasets as hfds
@@ -44,6 +108,8 @@ for name, hf in (("CIFAR10", "cifar10"), ("MNIST", "mnist"), ("CELEBA-HQ", "hugg
     ds = hfds.load_dataset(hf)
     ds.save_to_disk(f"{root}/{name}")
 EOF
+
+"$0" --dry-run "$ASSETS"
 
 echo "Staged under $ASSETS. Run with:"
 echo "  BADDIFFUSION_FID_WEIGHTS=$BADDIFFUSION_FID_WEIGHTS \\"
