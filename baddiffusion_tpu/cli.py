@@ -200,6 +200,7 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
             sample_n=config.eval_sample_n,
             sampling_steps=config.sampling_steps,
             save_all_model_epochs=config.is_save_all_model_epochs,
+            capture_every=config.capture_every,
             profile_steps=config.profile_steps,
             mesh=mesh,
         )
@@ -241,6 +242,7 @@ def run_sampling(config: TrainingConfig, dsl: Optional[DatasetLoader] = None) ->
         sample_n=config.eval_sample_n,
         num_inference_steps=steps,
         seed=config.seed,
+        capture_every=config.capture_every,
     )
     Log.info(f"sampling written under {config.output_dir}/(samples|backdoor_samples)")
 

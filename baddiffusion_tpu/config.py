@@ -53,7 +53,7 @@ MODE_RESUME_OPTS = ["project", "mode", "gpu", "ckpt"]
 MODE_SAMPLING_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 MODE_MEASURE_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 IGNORE_ARGS = ["overwrite", "is_save_all_model_epochs"]
-EXTRA_OPTS = ["fake_size", "measure_sample_n", "measure_steps", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat", "param_sharding", "model_parallel"]
+EXTRA_OPTS = ["fake_size", "measure_sample_n", "measure_steps", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat", "param_sharding", "model_parallel", "capture_every"]
 
 SCHED_CHOICES = [
     "DDPM-SCHED", "DDIM-SCHED",
@@ -132,6 +132,9 @@ class TrainingConfig:
     # --param_sharding fsdp composes on the same mesh's data axis.
     model_parallel: int = 1
     sampling_steps: int = 1000  # inference steps for train-time sample grids
+    # movie-frame stride for qualitative sampling: None = ~50 frames total;
+    # 1 = the reference's every-step trajectory (pipeline_ddpm.py:103-113)
+    capture_every: Optional[int] = None
     # inference steps for MEASURE sampling; None = each pipeline's default
     # (DDPM 1000, solver families 50 — reference measure never overrides)
     measure_steps: Optional[int] = None
@@ -196,6 +199,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--measure_sample_n", type=int, help="override eval sample count (default 2048)")
     parser.add_argument("--measure_steps", type=int, help="override measure-time inference steps (default: pipeline's)")
     parser.add_argument("--sampling_steps", type=int, help="inference steps for train-time sample grids")
+    parser.add_argument("--capture_every", type=int,
+                        help="movie-frame stride (1 = reference's every-step trajectory; default ~50 frames)")
     parser.add_argument("--profile_steps", type=int, help="write a jax.profiler trace of N train steps to <out>/profile")
     return parser
 

@@ -32,6 +32,7 @@ def sample_grids(
     num_inference_steps: int = 1000,
     seed: int = 0,
     with_movie: bool = True,
+    capture_every: Optional[int] = None,
 ) -> None:
     """Fixed-seed qualitative sampling (reference sampling(), baddiffusion.py:366-419).
 
@@ -52,6 +53,9 @@ def sample_grids(
             key=key,
             num_inference_steps=num_inference_steps,
             save_every_step=with_movie,
+            # None -> the pipeline's ~50-frame stride; --capture_every 1
+            # reproduces the reference's every-step trajectory
+            capture_every=capture_every,
         )
         d = os.path.join(out_dir, sub)
         os.makedirs(d, exist_ok=True)
@@ -78,6 +82,7 @@ def train_loop(
     sample_n: int = 16,
     sampling_steps: int = 1000,
     save_all_model_epochs: bool = False,
+    capture_every: Optional[int] = None,
     mesh=None,
     log_every: int = 20,
     on_epoch_end: Optional[Callable] = None,
@@ -145,6 +150,7 @@ def train_loop(
                             sample_n=sample_n,
                             num_inference_steps=sampling_steps,
                             seed=seed,
+                            capture_every=capture_every,
                         )
                 except Exception:
                     Log.error("sampling failed:\n" + traceback.format_exc())

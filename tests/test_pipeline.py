@@ -120,3 +120,28 @@ def test_sde_ve_pipeline_branch(pipe):
     out = sde(batch_size=1, key=jax.random.PRNGKey(0), num_inference_steps=8)
     assert out.images.shape == (1, 8, 8, 3)
     assert 0.0 <= out.images.min() and out.images.max() <= 1.0
+
+
+@pytest.mark.slow
+def test_full_stride_movie_at_t1000(pipe):
+    """capture_every=1 at T=1000 — the reference's every-step trajectory
+    (pipeline_ddpm.py:103-113). The frame buffer is carried through the scan,
+    so this is the memory-heaviest capture configuration; it must produce
+    exactly T frames whose last equals the final image."""
+    out = pipe(batch_size=1, key=jax.random.PRNGKey(0), num_inference_steps=1000,
+               save_every_step=True, capture_every=1)
+    assert out.movie is not None
+    assert out.movie.shape == (1000, 1, 8, 8, 3)
+    np.testing.assert_allclose(out.movie[-1], out.images, atol=1e-6)
+    # trajectory actually evolves (not a repeated frame)
+    assert np.abs(out.movie[0] - out.movie[-1]).max() > 0.05
+
+
+def test_karras_ve_movie_request_raises():
+    from baddiffusion_tpu.schedulers import KarrasVeConfig, KarrasVeScheduler
+
+    model = UNet2DModel(TINY)
+    params = model.init_params(jax.random.PRNGKey(0))
+    kpipe = DiffusionPipeline(model, params, KarrasVeScheduler(KarrasVeConfig()))
+    with pytest.raises(NotImplementedError, match="movie"):
+        kpipe(batch_size=1, num_inference_steps=5, save_every_step=True)
