@@ -32,6 +32,30 @@ def _train_args(tmp_path, extra=()):
 
 
 class TestCLIEndToEnd:
+    def test_cli_smoke_train_measure(self, tmp_path, monkeypatch):
+        """Fast default-tier pass through the production main(): one
+        train+measure invocation at minimal sizes — artifact surface +
+        score.json keys. The full roundtrip (sampling mode + resume) runs in
+        the gated tier below."""
+        monkeypatch.chdir(tmp_path)
+        from baddiffusion_tpu import cli
+
+        cli.main([
+            "--mode", "train+measure", "--dataset", "FAKE", "--batch", "32",
+            "--epoch", "1", "--fake_size", "64", "--poison_rate", "0.25",
+            "--trigger", "BOX_14", "--target", "CORNER",
+            "--measure_sample_n", "4", "--eval_max_batch", "4",
+            "--sampling_steps", "2", "--measure_steps", "2",
+            "--result", str(tmp_path), "-o",
+        ])
+        out = os.path.join(str(tmp_path), "res_None_FAKE_ep1_c1.0_p0.25_BOX_14-CORNER")
+        for f in ("args.json", "config.json", "data.json", "model_index.json", "score.json"):
+            assert os.path.exists(os.path.join(out, f)), f
+        with open(os.path.join(out, "score.json")) as f:
+            sc = json.load(f)
+        assert any(k.startswith("FID_proxy") for k in sc)
+
+    @pytest.mark.slow
     def test_train_measure_sampling_roundtrip(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)  # measure/<DATASET> dump is cwd-relative
         from baddiffusion_tpu import cli

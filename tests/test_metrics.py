@@ -57,6 +57,7 @@ class TestFID:
         d = frechet_distance(np.zeros(2), np.diag(s1**2), np.zeros(2), np.diag(s2**2))
         assert d == pytest.approx(float(((s1 - s2) ** 2).sum()), rel=1e-6)
 
+    @pytest.mark.slow  # full InceptionV3 over two dirs: heaviest FID path
     def test_fid_pipeline_dirs(self, tmp_path):
         from baddiffusion_tpu.utils.image import save_images
 
@@ -92,6 +93,7 @@ class TestFID:
 
 
 class TestInceptionArch:
+    @pytest.mark.slow  # full 299px InceptionV3 jit: ~1 min on 1 CPU core
     def test_shapes_and_determinism(self):
         import jax
         import jax.numpy as jnp
@@ -121,6 +123,7 @@ class TestInceptionArch:
         assert y.shape == (1, 2048)
 
 
+@pytest.mark.slow
 class TestFIDInceptionConversionParity:
     """Validate the flax FID-InceptionV3 port + torch→flax weight conversion
     against a torch implementation of the same architecture (pytorch_fid's

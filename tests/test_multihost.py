@@ -110,6 +110,7 @@ def _marker_losses(outs, marker: str):
     return [line.split()[1] for out in outs for line in out.splitlines() if line.startswith(marker)]
 
 
+@pytest.mark.slow  # two real jax.distributed processes: gated tier
 @pytest.mark.reference
 class TestTwoProcessIntegration:
     @pytest.mark.parametrize("layout", ["replicated", "fsdp"])
