@@ -78,6 +78,16 @@ def main():
         state, metrics = step(state, img, clean, jax.random.PRNGKey(i))
     jax.block_until_ready(metrics["loss"])
 
+    # XLA's own cost model on the exact program timed below — feeds the
+    # machine-readable MFU/roofline fields (method: examples/mfu_analysis.py;
+    # v5e peaks: 197 bf16 TFLOP/s, 819 GB/s HBM)
+    try:
+        ca = step.lower(state, img, clean, jax.random.PRNGKey(0)).compile().cost_analysis()
+        step_flops = float(ca.get("flops", 0.0))
+        step_bytes = float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        step_flops = step_bytes = 0.0
+
     # best of 3 windows: the axon tunnel adds occasional multi-ms dispatch
     # stalls that would otherwise under-report steady-state throughput by >10%
     best_dt = float("inf")
@@ -104,18 +114,27 @@ def main():
     pipe(init=init, num_inference_steps=1000, key=jax.random.PRNGKey(9))
     sampling_imgs_per_sec = SAMPLING_BATCH / (time.perf_counter() - t0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "cifar10_32_backdoor_train_samples_per_sec",
-                "value": round(samples_per_sec, 1),
-                "unit": "samples/sec",
-                "vs_baseline": round(samples_per_sec / A100_TRAIN_SAMPLES_PER_SEC_EST, 2),
-                "ddpm_1000step_sampling_imgs_per_sec": round(sampling_imgs_per_sec, 2),
-                "sampling_vs_baseline": round(sampling_imgs_per_sec / A100_SAMPLING_IMGS_PER_SEC_EST, 2),
-            }
-        )
-    )
+    dt_step = best_dt / MEASURE_STEPS
+    v5e_peak_flops, v5e_hbm = 197e12, 819e9
+    out = {
+        "metric": "cifar10_32_backdoor_train_samples_per_sec",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/sec",
+        "vs_baseline": round(samples_per_sec / A100_TRAIN_SAMPLES_PER_SEC_EST, 2),
+        "ddpm_1000step_sampling_imgs_per_sec": round(sampling_imgs_per_sec, 2),
+        "sampling_vs_baseline": round(sampling_imgs_per_sec / A100_SAMPLING_IMGS_PER_SEC_EST, 2),
+        # the baselines are literature ESTIMATES (no in-tree reference
+        # number exists, BASELINE.md) — vs_baseline carries their error bar
+        "baseline_basis": "estimate",
+        "baseline_train_samples_per_sec_est": A100_TRAIN_SAMPLES_PER_SEC_EST,
+        "baseline_sampling_imgs_per_sec_est": A100_SAMPLING_IMGS_PER_SEC_EST,
+    }
+    if step_flops:
+        out["train_mfu_pct"] = round(step_flops / dt_step / v5e_peak_flops * 100, 1)
+        out["train_hbm_util_pct"] = round(step_bytes / dt_step / v5e_hbm * 100, 1)
+        out["train_step_gflop"] = round(step_flops / 1e9, 1)
+        out["train_step_ms"] = round(dt_step * 1e3, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

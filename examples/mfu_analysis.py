@@ -21,6 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache (same config as bench.py): the 256px remat variant
+# compiles >9 min cold — without the cache this script times out
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/baddiffusion_tpu/jax")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 V5E_PEAK_BF16_FLOPS = 197e12
 V5E_HBM_BYTES_PER_S = 819e9
 
