@@ -68,6 +68,7 @@ def get_data_loader(config: TrainingConfig) -> DatasetLoader:
         batch_size=global_batch,
         seed=config.seed,
         fake_size=config.fake_size,
+        image_size=config.image_size,
     )
     dsl.set_poison(
         trigger_type=config.trigger,

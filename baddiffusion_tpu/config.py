@@ -53,7 +53,7 @@ MODE_RESUME_OPTS = ["project", "mode", "gpu", "ckpt"]
 MODE_SAMPLING_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 MODE_MEASURE_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 IGNORE_ARGS = ["overwrite", "is_save_all_model_epochs"]
-EXTRA_OPTS = ["fake_size", "measure_sample_n", "measure_steps", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat", "param_sharding", "model_parallel", "capture_every"]
+EXTRA_OPTS = ["fake_size", "measure_sample_n", "measure_steps", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat", "param_sharding", "model_parallel", "capture_every", "image_size"]
 
 SCHED_CHOICES = [
     "DDPM-SCHED", "DDIM-SCHED",
@@ -135,6 +135,9 @@ class TrainingConfig:
     # movie-frame stride for qualitative sampling: None = ~50 frames total;
     # 1 = the reference's every-step trajectory (pipeline_ddpm.py:103-113)
     capture_every: Optional[int] = None
+    # override the dataset-keyed image size (the reference hardcodes
+    # 32/64/256 per dataset, dataset.py:105-118; None keeps those defaults)
+    image_size: Optional[int] = None
     # inference steps for MEASURE sampling; None = each pipeline's default
     # (DDPM 1000, solver families 50 — reference measure never overrides)
     measure_steps: Optional[int] = None
@@ -201,6 +204,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sampling_steps", type=int, help="inference steps for train-time sample grids")
     parser.add_argument("--capture_every", type=int,
                         help="movie-frame stride (1 = reference's every-step trajectory; default ~50 frames)")
+    parser.add_argument("--image_size", type=int,
+                        help="override the dataset-keyed image size (default: 32/64/256 per dataset)")
     parser.add_argument("--profile_steps", type=int, help="write a jax.profiler trace of N train steps to <out>/profile")
     return parser
 

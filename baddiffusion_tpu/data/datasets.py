@@ -247,12 +247,19 @@ class DatasetLoader:
 
         if name == self.FAKE:
             total = fake_size * self.image_size**2 * self.channel
+            cache = os.path.join(
+                root or "datasets", ".decoded", f"FAKE_{self.image_size}x{self.channel}_n{fake_size}.npy"
+            )
             if total > self.max_ram_bytes:
-                cache = _mmap_cache_path(root, f"FAKE_{self.image_size}x{self.channel}_n{fake_size}")
                 shape = (fake_size, self.image_size, self.image_size, self.channel)
+                os.makedirs(os.path.dirname(cache), exist_ok=True)
                 store = _build_memmap(
                     cache, shape, lambda out: _fake_images(fake_size, self.image_size, self.channel, out=out)
                 )
+            elif os.path.exists(cache):
+                # a prior (e.g. mmap-mode) run already generated these exact
+                # bytes — load them to RAM instead of regenerating
+                store = np.load(cache)
             else:
                 store = _fake_images(fake_size, self.image_size, self.channel)
             self._store, self._labels_store = store, np.full((len(store),), -1, np.float32)

@@ -145,3 +145,23 @@ def test_karras_ve_movie_request_raises():
     kpipe = DiffusionPipeline(model, params, KarrasVeScheduler(KarrasVeConfig()))
     with pytest.raises(NotImplementedError, match="movie"):
         kpipe(batch_size=1, num_inference_steps=5, save_every_step=True)
+
+
+def test_bf16_eval_drift_bounded(pipe):
+    """--eval_dtype bf16 (pipeline.compute_dtype) must stay metric-compatible
+    with f32 sampling. The backdoor-MSE planted/not decision gap is ~0.2
+    (planted ~1e-3 vs unplanted ~0.2, PARITY.md); the asserted drift bounds
+    sit two orders of magnitude below it so the bf16 mode can never flip the
+    classification. Measured on this tiny model at 50 steps:
+    mean|Δpixel| 4.3e-4, ΔMSE 1.5e-7 (hardware numbers for the trained
+    113.7M checkpoint are in PARITY.md)."""
+    from baddiffusion_tpu.metrics import mse
+
+    init = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (4, 8, 8, 3), jnp.float32))
+    k = jax.random.PRNGKey(0)
+    a = pipe(init=init, key=k, num_inference_steps=50).images
+    b16 = DiffusionPipeline(pipe.unet, pipe.params, pipe.scheduler, compute_dtype=jnp.bfloat16)
+    b = b16(init=init, key=k, num_inference_steps=50).images
+    target = np.zeros_like(a)  # any fixed target: bounds |mse(a,t)-mse(b,t)|
+    assert np.abs(a - b).mean() < 0.01
+    assert abs(float(mse(a, target)) - float(mse(b, target))) < 2e-3
