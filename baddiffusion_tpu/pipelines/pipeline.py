@@ -126,12 +126,6 @@ class DiffusionPipeline:
 
         is_sde_ve = scheduler.hf_class_name == "ScoreSdeVeScheduler"
         is_karras_ve = scheduler.hf_class_name == "KarrasVeScheduler"
-        if is_karras_ve and capture_every is not None:
-            # fail loud rather than silently returning movie=None: KarrasVe
-            # runs its own scan engine without trajectory capture
-            raise NotImplementedError(
-                "KarrasVe sampling does not support movie capture (capture_every/save_every_step)"
-            )
 
         @jax.jit
         def run(params, init, key):
@@ -142,7 +136,9 @@ class DiffusionPipeline:
                 # garbage through the generic path
                 from baddiffusion_tpu.schedulers.karras_ve import sample_karras_ve
 
-                return sample_karras_ve(scheduler, state, apply_fn, params, init, key), None
+                return sample_karras_ve(
+                    scheduler, state, apply_fn, params, init, key, capture_every=capture_every
+                )
             if is_sde_ve:
                 sample, movie = sample_sde_ve(
                     scheduler, state, apply_fn, params, init, key, capture_every=capture_every

@@ -77,7 +77,13 @@ class KarrasVeScheduler(ConfigurableScheduler):
         )
         eps = cfg.s_noise * jax.random.normal(key, sample.shape, sample.dtype)
         sigma_hat = sigma + gamma * sigma
-        sample_hat = sample + ((sigma_hat**2 - sigma**2) ** 0.5) * eps
+        # max(·, 0) before the sqrt: when gamma == 0 (sigma outside
+        # [s_min, s_max]), XLA's fma fusion can evaluate
+        # sigma_hat^2 - sigma^2 to a tiny NEGATIVE number (exact product
+        # minus rounded square), and pow(negative, 0.5) is NaN — which then
+        # poisons the whole scan. Torch's eager evaluation never hits this;
+        # the clamp is numerically exact for the mathematical value >= 0.
+        sample_hat = sample + jnp.sqrt(jnp.maximum(sigma_hat**2 - sigma**2, 0.0)) * eps
         return sample_hat, sigma_hat
 
     def step(self, state, model_output, sigma_hat, sigma_prev, sample_hat):
@@ -93,9 +99,11 @@ class KarrasVeScheduler(ConfigurableScheduler):
         return sample_prev, derivative_corr, pred_x0
 
 
-def sample_karras_ve(scheduler, state, apply_fn, params, init, key):
+def sample_karras_ve(scheduler, state, apply_fn, params, init, key, capture_every: Optional[int] = None):
     """The KarrasVePipeline loop as one scan (reference
-    pipeline_stochastic_karras_ve.py:85-115)."""
+    pipeline_stochastic_karras_ve.py:85-115). Returns (images01, movie01)
+    with ``movie01`` a strided trajectory (bounded carried frame buffer, same
+    scheme as pipelines/sampler.sample_loop) or None."""
     sample = init * jnp.asarray(scheduler.init_noise_sigma, init.dtype)
     n = int(state.timesteps.shape[0])
 
@@ -103,8 +111,7 @@ def sample_karras_ve(scheduler, state, apply_fn, params, init, key):
         b = x.shape[0]
         return apply_fn(params, (x + 1.0) / 2.0, jnp.broadcast_to(sigma / 2.0, (b,)))
 
-    def body(carry, i):
-        sample, k = carry
+    def step_once(sample, k, i):
         t = state.timesteps[i]
         sigma = state.schedule[t]
         sigma_prev = jnp.where(t > 0, state.schedule[jnp.clip(t - 1, 0)], 0.0)
@@ -117,8 +124,32 @@ def sample_karras_ve(scheduler, state, apply_fn, params, init, key):
         corrected, _, _ = scheduler.step_correct(
             state, mo2, sigma_hat, sigma_prev, sample_hat, sample_prev, derivative
         )
-        sample = jnp.where(sigma_prev != 0, corrected, sample_prev)
-        return (sample, k), None
+        return jnp.where(sigma_prev != 0, corrected, sample_prev), k
+
+    def to01(x):
+        return jnp.clip(x / 2.0 + 0.5, 0.0, 1.0)
+
+    if capture_every:
+        n_frames = -(-n // capture_every)
+        frames0 = jnp.zeros((n_frames,) + init.shape, init.dtype)
+
+        def body(carry, i):
+            sample, k, frames = carry
+            sample, k = step_once(sample, k, i)
+            frames = jax.lax.cond(
+                i % capture_every == 0,
+                lambda f: jax.lax.dynamic_update_index_in_dim(f, sample, i // capture_every, 0),
+                lambda f: f,
+                frames,
+            )
+            return (sample, k, frames), None
+
+        (sample, _, frames), _ = jax.lax.scan(body, (sample, key, frames0), jnp.arange(n))
+        return to01(sample), to01(frames)
+
+    def body(carry, i):
+        sample, k = carry
+        return step_once(sample, k, i), None
 
     (sample, _), _ = jax.lax.scan(body, (sample, key), jnp.arange(n))
-    return jnp.clip(sample / 2.0 + 0.5, 0.0, 1.0)
+    return to01(sample), None

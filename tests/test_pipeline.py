@@ -137,14 +137,30 @@ def test_full_stride_movie_at_t1000(pipe):
     assert np.abs(out.movie[0] - out.movie[-1]).max() > 0.05
 
 
-def test_karras_ve_movie_request_raises():
+def test_karras_ve_movie_capture():
+    """KarrasVe's own scan engine supports the same strided trajectory
+    capture as the generic sample_loop (a movie request used to silently
+    return None — round-2 advisor finding)."""
     from baddiffusion_tpu.schedulers import KarrasVeConfig, KarrasVeScheduler
 
     model = UNet2DModel(TINY)
     params = model.init_params(jax.random.PRNGKey(0))
-    kpipe = DiffusionPipeline(model, params, KarrasVeScheduler(KarrasVeConfig()))
-    with pytest.raises(NotImplementedError, match="movie"):
-        kpipe(batch_size=1, num_inference_steps=5, save_every_step=True)
+    # tame sigma schedule: the default sigma_max=100 blows up through an
+    # UNTRAINED model (values explode multiplicatively per step); this test
+    # pins the capture plumbing, not sampler numerics (those are covered by
+    # the step-level torch parity in test_solver_parity.py)
+    cfg = KarrasVeConfig(sigma_max=1.0, sigma_min=0.02, s_churn=0.0)
+    kpipe = DiffusionPipeline(model, params, KarrasVeScheduler(cfg))
+    out = kpipe(batch_size=1, key=jax.random.PRNGKey(0), num_inference_steps=6,
+                save_every_step=True, capture_every=2)
+    assert out.movie is not None
+    assert out.movie.shape == (3, 1, 8, 8, 3)
+    assert out.movie.min() >= 0.0 and out.movie.max() <= 1.0
+    assert np.isfinite(out.images).all()
+    # no-capture path unchanged
+    plain = kpipe(batch_size=1, key=jax.random.PRNGKey(0), num_inference_steps=6)
+    assert plain.movie is None
+    np.testing.assert_allclose(plain.images, out.images, atol=1e-6)
 
 
 def test_bf16_eval_drift_bounded(pipe):
