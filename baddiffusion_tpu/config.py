@@ -163,8 +163,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mode", "-m", required=True, type=str, choices=MODES)
     parser.add_argument(
         "--dataset", "-ds", type=str,
+        # LSUN names are a TPU-build extension: the reference's parser (and
+        # loader) exclude them (baddiffusion.py:58); here they load from
+        # staged save_to_disk dirs (data/datasets.py)
         choices=[DatasetLoader.MNIST, DatasetLoader.CIFAR10, DatasetLoader.CELEBA,
-                 DatasetLoader.CELEBA_HQ, DatasetLoader.FAKE],
+                 DatasetLoader.CELEBA_HQ, DatasetLoader.LSUN_CHURCH,
+                 DatasetLoader.LSUN_BEDROOM, DatasetLoader.FAKE],
     )
     parser.add_argument("--batch", "-b", type=int)
     parser.add_argument("--sched", "-sc", type=str, choices=SCHED_CHOICES)

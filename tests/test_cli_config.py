@@ -104,6 +104,17 @@ class TestSetup:
         resumed = setup(["--mode", "resume", "--ckpt", config.output_dir])
         assert resumed.learning_rate == pytest.approx(2e-4)
 
+    def test_lsun_dataset_accepted(self, tmp_path):
+        """LSUN names are a TPU-build parser extension: the reference's parser
+        excludes them (baddiffusion.py:58) but our loader serves them from
+        staged save_to_disk dirs (data/datasets.py), so the CLI accepts them.
+        256px policy applies (batch_256=64 grad-accum grammar)."""
+        args = ["--mode", "train", "--dataset", "LSUN-CHURCH", "--batch", "16",
+                "--poison_rate", "0.1", "--result", str(tmp_path), "-o"]
+        config = setup(args)
+        assert config.dataset == "LSUN-CHURCH"
+        assert config.gradient_accumulation_steps == 4  # 64 // 16
+
     def test_param_sharding_flag(self, tmp_path):
         config = setup(train_args(tmp_path, ["--postfix", "ps0"]))
         assert config.param_sharding == "replicated"
