@@ -229,7 +229,21 @@ def load_pipeline_for_eval(config: TrainingConfig):
     return pipeline
 
 
+def _eval_is_primary() -> bool:
+    """The eval pipeline is loaded from disk onto each process's own devices
+    (no global mesh, no collectives), so in a multi-process launch every
+    process would redo the SAME sampling and race on score.json / the PNG
+    dirs. Only process 0 evaluates; peers skip (train_loop applies the same
+    discipline one level down for its in-training sampling/export)."""
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        Log.info(f"process {jax.process_index()}: eval runs on process 0 only, skipping")
+        return False
+    return True
+
+
 def run_sampling(config: TrainingConfig, dsl: Optional[DatasetLoader] = None) -> None:
+    if not _eval_is_primary():
+        return
     dsl = dsl or get_data_loader(config)
     pipeline = load_pipeline_for_eval(config)
     tag = f"{config.sample_ep}" if config.sample_ep is not None else "final"
@@ -275,6 +289,8 @@ def update_score_file(config: TrainingConfig, score_file: str, fid_sc, mse_sc, s
 def run_measure(config: TrainingConfig, dsl: Optional[DatasetLoader] = None, resample: bool = True, recomp: bool = True) -> None:
     """FID (clean gen vs real) + MSE/SSIM (backdoor gen vs tiled target)
     (reference measure(), baddiffusion.py:477-551)."""
+    if not _eval_is_primary():
+        return
     dsl = dsl or get_data_loader(config)
     pipeline = load_pipeline_for_eval(config)
 

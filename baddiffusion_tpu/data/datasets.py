@@ -66,14 +66,34 @@ def _build_memmap(cache: str, shape, fill) -> np.ndarray:
     memmap (atomically installed via os.replace), then the store is reopened
     read-only with mmap — the OS page cache streams batches, so host RAM
     stays bounded at any dataset size (the reference achieves the same bound
-    with lazy per-batch decode, dataset.py:195-201,271-273)."""
+    with lazy per-batch decode, dataset.py:195-201,271-273).
+
+    Concurrency: the scratch file is pid-unique so concurrent builders never
+    truncate each other's live mapping (os.replace is atomic; last writer
+    wins). Under jax.distributed, only process 0 decodes — peers poll for the
+    installed cache instead of redoing a multi-GB decode in parallel."""
     if not os.path.exists(cache):
-        tmp = cache + ".tmp"
-        out = np.lib.format.open_memmap(tmp, mode="w+", dtype=np.uint8, shape=shape)
-        fill(out)
-        out.flush()
-        del out
-        os.replace(tmp, cache)
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            import time
+
+            deadline = time.monotonic() + 24 * 3600
+            while not os.path.exists(cache):
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"waited 24h for process 0 to build {cache}")
+                time.sleep(2.0)
+        else:
+            tmp = f"{cache}.tmp.{os.getpid()}"
+            try:
+                out = np.lib.format.open_memmap(tmp, mode="w+", dtype=np.uint8, shape=shape)
+                fill(out)
+                out.flush()
+                del out
+                os.replace(tmp, cache)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
     store = np.load(cache, mmap_mode="r")
     if store.shape != tuple(shape):
         raise ValueError(
@@ -163,7 +183,12 @@ def _decode_hf_dataset(
                     recs = ds.select(range(start, min(start + chunk, n)))
                     out[start : start + len(recs)] = np.stack(list(pool.map(decode, recs)))
 
-        cache = _mmap_cache_path(root, f"{name.replace('/', '--')}_{size}x{channel}_n{n}")
+        # the HF fingerprint ties the cache to the dataset's CONTENT: restaging
+        # a same-count dataset with different pixels gets a fresh cache file
+        # instead of silently serving the old decode
+        fp = getattr(ds, "_fingerprint", "") or ""
+        fp = f"_{fp[:12]}" if fp else ""
+        cache = _mmap_cache_path(root, f"{name.replace('/', '--')}_{size}x{channel}_n{n}{fp}")
         images = _build_memmap(cache, (n, size, size, channel), fill)
     else:
         with ThreadPoolExecutor() as pool:
@@ -247,12 +272,9 @@ class DatasetLoader:
 
         if name == self.FAKE:
             total = fake_size * self.image_size**2 * self.channel
-            cache = os.path.join(
-                root or "datasets", ".decoded", f"FAKE_{self.image_size}x{self.channel}_n{fake_size}.npy"
-            )
+            cache = _mmap_cache_path(root, f"FAKE_{self.image_size}x{self.channel}_n{fake_size}")
             if total > self.max_ram_bytes:
                 shape = (fake_size, self.image_size, self.image_size, self.channel)
-                os.makedirs(os.path.dirname(cache), exist_ok=True)
                 store = _build_memmap(
                     cache, shape, lambda out: _fake_images(fake_size, self.image_size, self.channel, out=out)
                 )

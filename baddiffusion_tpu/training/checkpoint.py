@@ -20,6 +20,7 @@ closes every save so no process races ahead to read a half-written dir.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 from typing import Any, Callable, Optional, Tuple
@@ -48,6 +49,13 @@ def _is_primary() -> bool:
     return jax.process_index() == 0
 
 
+@functools.lru_cache(maxsize=8)
+def _replicated_gather(mesh):
+    # one jitted identity per mesh: a fresh jit per call would retrace and
+    # recompile the ~600-leaf all-gather program at every checkpoint
+    return jax.jit(lambda t: t, out_shardings=NamedSharding(mesh, P()))
+
+
 def gather_tree_to_host(tree):
     """numpy copies of a pytree that may hold multi-process-sharded arrays.
 
@@ -59,8 +67,7 @@ def gather_tree_to_host(tree):
     if not any(not l.is_fully_addressable for l in leaves):
         return jax.device_get(tree)
     mesh = next(l.sharding.mesh for l in leaves if not l.is_fully_addressable)
-    gather = jax.jit(lambda t: t, out_shardings=NamedSharding(mesh, P()))
-    return jax.device_get(gather(tree))
+    return jax.device_get(_replicated_gather(mesh)(tree))
 
 
 def save_trainer_state(out_dir: str, state, epoch: int) -> None:
@@ -69,9 +76,13 @@ def save_trainer_state(out_dir: str, state, epoch: int) -> None:
     ``state`` may hold sharded jax.Arrays; every process must call this with
     the same structure (orbax writes per-process shards + one commit).
     """
-    if _is_primary():
-        os.makedirs(out_dir, exist_ok=True)
-    _barrier("ckpt_dir")
+    try:
+        if _is_primary():
+            os.makedirs(out_dir, exist_ok=True)
+    finally:
+        # reached even if the mkdir raises: peers must never be left hanging
+        # in sync_global_devices (the exception still propagates on process 0)
+        _barrier("ckpt_dir")
     path = os.path.abspath(os.path.join(out_dir, CKPT_SUBDIR))
     ckptr = _checkpointer()
     import orbax.checkpoint as ocp
@@ -82,10 +93,12 @@ def save_trainer_state(out_dir: str, state, epoch: int) -> None:
         ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
     ckptr.wait_until_finished()
     step = int(jax.device_get(state.step)) if hasattr(state, "step") else 0
-    if _is_primary():
-        with open(os.path.join(out_dir, DATA_JSON), "w") as f:
-            json.dump({"epoch": int(epoch), "step": step}, f)
-    _barrier("ckpt_done")
+    try:
+        if _is_primary():
+            with open(os.path.join(out_dir, DATA_JSON), "w") as f:
+                json.dump({"epoch": int(epoch), "step": step}, f)
+    finally:
+        _barrier("ckpt_done")
 
 
 def _abstract_template(tree):
@@ -140,12 +153,16 @@ def save_checkpoint(
     save_trainer_state(out_dir, state, epoch)
     if make_pipeline is not None:
         host_params = gather_tree_to_host(state.params)
-        if _is_primary():
-            pipe = make_pipeline(state.replace(params=host_params))
-            pipe.save_pretrained(out_dir)
-            if save_all_model_epochs:
-                pipe.save_pretrained(ep_model_path(out_dir, epoch))
-        _barrier("hf_export")
+        try:
+            if _is_primary():
+                pipe = make_pipeline(state.replace(params=host_params))
+                pipe.save_pretrained(out_dir)
+                if save_all_model_epochs:
+                    pipe.save_pretrained(ep_model_path(out_dir, epoch))
+        finally:
+            # a failed export on process 0 (disk full, permissions) must not
+            # strand peers in the barrier; the exception propagates after
+            _barrier("hf_export")
 
 
 def has_trainer_state(out_dir: str) -> bool:

@@ -40,9 +40,13 @@ class TestCLIEndToEnd:
         monkeypatch.chdir(tmp_path)
         from baddiffusion_tpu import cli
 
+        # batch 64 → grad-accum 2 → the loader's GLOBAL batch is 128, and
+        # fake_size 128 yields exactly one train step; a smaller fake_size
+        # would drop_last to ZERO steps and the artifacts below would come
+        # from the finally-block checkpoint of the untrained init
         cli.main([
-            "--mode", "train+measure", "--dataset", "FAKE", "--batch", "32",
-            "--epoch", "1", "--fake_size", "64", "--poison_rate", "0.25",
+            "--mode", "train+measure", "--dataset", "FAKE", "--batch", "64",
+            "--epoch", "1", "--fake_size", "128", "--poison_rate", "0.25",
             "--trigger", "BOX_14", "--target", "CORNER",
             "--measure_sample_n", "4", "--eval_max_batch", "4",
             "--sampling_steps", "2", "--measure_steps", "2",
@@ -51,6 +55,8 @@ class TestCLIEndToEnd:
         out = os.path.join(str(tmp_path), "res_None_FAKE_ep1_c1.0_p0.25_BOX_14-CORNER")
         for f in ("args.json", "config.json", "data.json", "model_index.json", "score.json"):
             assert os.path.exists(os.path.join(out, f)), f
+        with open(os.path.join(out, "data.json")) as f:
+            assert json.load(f)["step"] > 0, "smoke run executed zero train steps"
         with open(os.path.join(out, "score.json")) as f:
             sc = json.load(f)
         assert any(k.startswith("FID_proxy") for k in sc)
