@@ -543,6 +543,55 @@ class TestStreamingStore:
         )
         assert mm.is_memmap_backed
 
+    def test_concurrent_builders_do_not_corrupt_cache(self, tmp_path):
+        """Two processes building the same cache concurrently must both
+        succeed with intact bytes: the scratch file is pid-unique, so neither
+        open truncates the other's live mapping (os.replace is atomic)."""
+        import subprocess
+        import sys
+
+        prog = (
+            "import numpy as np\n"
+            "from baddiffusion_tpu.data.datasets import _build_memmap\n"
+            "import time\n"
+            "def fill(out):\n"
+            "    out[:] = 7\n"
+            "    time.sleep(1.0)\n"  # hold the scratch file open across the peer's build
+            f"store = _build_memmap({str(repr(str(tmp_path / 'c.npy')))}, (64, 16, 16, 1), fill)\n"
+            "assert (np.asarray(store) == 7).all()\n"
+        )
+        procs = [
+            subprocess.Popen([sys.executable, "-c", prog], cwd="/root/repo",
+                             stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            for _ in range(2)
+        ]
+        for p in procs:
+            _, err = p.communicate(timeout=120)
+            assert p.returncode == 0, err.decode()
+        store = np.load(tmp_path / "c.npy", mmap_mode="r")
+        assert store.shape == (64, 16, 16, 1) and (np.asarray(store) == 7).all()
+        assert not list(tmp_path.glob("c.npy.tmp*"))  # scratch files cleaned up
+
+    def test_restaged_dataset_invalidates_decode_cache(self, tmp_path):
+        """Restaging a same-count dataset with different pixels must NOT be
+        served from the old decode cache: the HF fingerprint keys the cache."""
+        import datasets as hfds
+
+        from baddiffusion_tpu.data.datasets import _decode_hf_dataset
+
+        root = tmp_path / "datasets"
+        stage = root / "CELEBA-HQ"
+        hfds.Dataset.from_dict({"image": _make_pil_images(2, 8)}).save_to_disk(str(stage))
+        old = _decode_hf_dataset("CELEBA-HQ", size=16, channel=3, max_ram_bytes=1, root=str(root))
+        old_images = np.asarray(old["images"]).copy()
+
+        import shutil
+
+        shutil.rmtree(stage)
+        hfds.Dataset.from_dict({"image": _make_pil_images(2, 8, seed=99)}).save_to_disk(str(stage))
+        new = _decode_hf_dataset("CELEBA-HQ", size=16, channel=3, max_ram_bytes=1, root=str(root))
+        assert not np.array_equal(np.asarray(new["images"]), old_images)
+
 
 class TestRealImageSample:
     def test_matches_hf_shuffle_membership(self):
