@@ -226,6 +226,15 @@ def load_pipeline_for_eval(config: TrainingConfig):
     pipeline = get_pipeline(params, scheduler)
     if config.eval_dtype == "bf16":
         pipeline.compute_dtype = jnp.bfloat16  # opt-in throughput mode (--eval_dtype bf16)
+    if len(jax.local_devices()) > 1:
+        # data-parallel sampling over every local chip: the 2048-image measure
+        # shards its batch instead of serializing on one device (samples are
+        # independent, so results match single-device sampling; tested on the
+        # virtual 8-device mesh)
+        from baddiffusion_tpu.parallel import make_mesh
+
+        pipeline.mesh = make_mesh(devices=jax.local_devices())
+        Log.info(f"eval sampling sharded over {len(jax.local_devices())} local devices")
     return pipeline
 
 

@@ -58,6 +58,7 @@ class DiffusionPipeline:
         default_inference_steps: int = 1000,
         hf_class_name: str = "DDPMPipeline",
         compute_dtype=None,
+        mesh=None,
     ):
         self.unet = unet
         self.params = params
@@ -65,6 +66,13 @@ class DiffusionPipeline:
         self.clip_each_step = clip_each_step
         self.default_inference_steps = default_inference_steps
         self.hf_class_name = hf_class_name
+        # Optional data-parallel sampling mesh: the batch shards over the
+        # "data" axis while params replicate, so the 2048-image measure scales
+        # over every chip instead of serializing on one (the reference's
+        # DataParallel covers training only; its pipelines are single-GPU).
+        # Samples are independent — no cross-batch collectives — so sharded
+        # results match single-device results exactly.
+        self.mesh = mesh
         # UNet compute precision for sampling. None keeps the model's own
         # dtype (reference parity: pipelines run the fp32 model, SURVEY §8.6).
         # bf16 roughly doubles sampling throughput on TPU: weights stream at
@@ -105,11 +113,11 @@ class DiffusionPipeline:
 
     # -- sampling ---------------------------------------------------------------
     def _sample_fn(self, batch_size: int, num_inference_steps: int, start_from: int, capture_every):
-        # compute_dtype is mutable (load_pipeline_for_eval flips it post-init),
-        # so it must participate in the cache key or a later change would
-        # silently reuse the program compiled for the old dtype
+        # compute_dtype/mesh are mutable (load_pipeline_for_eval flips them
+        # post-init), so they must participate in the cache key or a later
+        # change would silently reuse the program compiled for the old setting
         cache_key = (batch_size, num_inference_steps, start_from, capture_every,
-                     dtype_cache_key(self.compute_dtype))
+                     dtype_cache_key(self.compute_dtype), self.mesh)
         if cache_key in self._jit_cache:
             return self._jit_cache[cache_key]
 
@@ -127,7 +135,20 @@ class DiffusionPipeline:
         is_sde_ve = scheduler.hf_class_name == "ScoreSdeVeScheduler"
         is_karras_ve = scheduler.hf_class_name == "KarrasVeScheduler"
 
-        @jax.jit
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            jit_kw = {
+                "in_shardings": (
+                    NamedSharding(self.mesh, P()),        # params replicated
+                    NamedSharding(self.mesh, P("data")),  # batch over data axis
+                    NamedSharding(self.mesh, P()),        # key replicated
+                ),
+            }
+        else:
+            jit_kw = {}
+
+        @partial(jax.jit, **jit_kw)
         def run(params, init, key):
             if is_karras_ve:
                 # KarrasVe's step signature (sigma_hat/sigma_prev args) is
@@ -198,13 +219,22 @@ class DiffusionPipeline:
             init = jnp.asarray(init, jnp.float32)
             batch_size = init.shape[0]
 
-        # measured 15 -> 5 imgs/sec on v5e when params re-upload per chunk
-        self.params = ensure_on_device(self.params)
+        # a sharded batch must divide the data axis: pad with copies of row 0
+        # (constant-cost) and trim after — callers see exactly batch_size rows
+        pad = 0
+        if self.mesh is not None:
+            data_size = self.mesh.shape["data"]
+            pad = (-batch_size) % data_size
+            if pad:
+                init = jnp.concatenate([init, jnp.broadcast_to(init[:1], (pad,) + init.shape[1:])])
 
-        run = self._sample_fn(batch_size, n, start_from, capture_every)
+        # measured 15 -> 5 imgs/sec on v5e when params re-upload per chunk
+        self.params = ensure_on_device(self.params, self.mesh)
+
+        run = self._sample_fn(batch_size + pad, n, start_from, capture_every)
         images, movie = run(self.params, init, key)
-        images = np.asarray(images)
-        movie = None if movie is None else np.asarray(movie)
+        images = np.asarray(images)[:batch_size]
+        movie = None if movie is None else np.asarray(movie)[:, :batch_size]
         return PipelineOutput(images=images, movie=movie)
 
 

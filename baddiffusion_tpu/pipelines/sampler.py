@@ -172,11 +172,20 @@ def cast_params(params, cast):
     )
 
 
-def ensure_on_device(params):
+def ensure_on_device(params, mesh=None):
     """Upload a host-numpy param pytree once; device-resident trees pass
     through untouched (re-uploading ~450MB per sampling call dominates
-    wall-clock over the TPU tunnel)."""
+    wall-clock over the TPU tunnel). With ``mesh``, params are committed to
+    the replicated mesh layout so the jitted sampler never re-broadcasts them
+    per call."""
     leaves = jax.tree_util.tree_leaves(params)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(mesh, PartitionSpec())
+        if leaves and isinstance(leaves[0], jax.Array) and leaves[0].sharding == sharding:
+            return params
+        return jax.device_put(params, sharding)
     if leaves and not isinstance(leaves[0], jax.Array):
         return jax.device_put(params)
     return params

@@ -181,3 +181,50 @@ def test_bf16_eval_drift_bounded(pipe):
     target = np.zeros_like(a)  # any fixed target: bounds |mse(a,t)-mse(b,t)|
     assert np.abs(a - b).mean() < 0.01
     assert abs(float(mse(a, target)) - float(mse(b, target))) < 2e-3
+
+
+class TestMeshSampling:
+    """Data-parallel sampling over the virtual 8-device mesh: samples are
+    independent (no cross-batch collectives), so sharded results must match
+    single-device sampling; ragged batches pad to the data-axis multiple and
+    trim back."""
+
+    def _mesh_pipe(self, pipe):
+        from baddiffusion_tpu.parallel import make_mesh
+
+        mp = DiffusionPipeline(
+            pipe.unet, pipe.params, pipe.scheduler,
+            default_inference_steps=10, mesh=make_mesh(),
+        )
+        return mp
+
+    def test_sharded_matches_single_device(self, pipe):
+        mp = self._mesh_pipe(pipe)
+        k = jax.random.PRNGKey(3)
+        a = pipe(batch_size=8, key=k, num_inference_steps=5).images
+        b = mp(batch_size=8, key=k, num_inference_steps=5).images
+        # partitioning changes XLA fusion order; observed drift ~2e-6 over
+        # 5 accumulated steps (not a logic difference)
+        np.testing.assert_allclose(a, b, atol=1e-4)
+        assert b.shape == (8, 8, 8, 3)
+
+    def test_ragged_batch_pads_and_trims(self, pipe):
+        mp = self._mesh_pipe(pipe)
+        k = jax.random.PRNGKey(4)
+        init = np.asarray(jax.random.normal(k, (5, 8, 8, 3), jnp.float32))
+        a = pipe(init=init, key=k, num_inference_steps=5).images
+        b = mp(init=init, key=k, num_inference_steps=5).images
+        assert b.shape == (5, 8, 8, 3)
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_movie_capture_sharded(self, pipe):
+        mp = self._mesh_pipe(pipe)
+        out = mp(batch_size=3, key=jax.random.PRNGKey(0), num_inference_steps=6,
+                 save_every_step=True, capture_every=2)
+        assert out.movie is not None
+        assert out.movie.shape[1] == 3  # trimmed back from the padded batch
+
+    def test_batch_sampling_through_mesh(self, pipe):
+        mp = self._mesh_pipe(pipe)
+        imgs = batch_sampling(12, mp, max_batch_n=8, num_inference_steps=4)
+        assert imgs.shape == (12, 8, 8, 3)
