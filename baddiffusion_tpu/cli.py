@@ -175,7 +175,14 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
     def make_pipeline(st):
         # params stay on device; device_get here would force a host round trip
         # and a re-upload on every pipeline call
-        return get_pipeline(st.params, scheduler)
+        pipe = get_pipeline(st.params, scheduler)
+        if mesh is not None and jax.process_count() == 1:
+            # single-process multi-chip: in-training sample grids shard their
+            # batch over the same mesh (ensure_on_device reshards FSDP/TP
+            # params to the replicated layout once per pipeline). Multi-
+            # process keeps the gather-then-process-0 path in train_loop.
+            pipe.mesh = mesh
+        return pipe
 
     tracker = Tracker(
         os.path.join(config.output_dir, "logs"),
