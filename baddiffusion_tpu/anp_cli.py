@@ -215,7 +215,10 @@ def main(argv=None):
         # merge on device: params are device-resident and apply_perturb is
         # pure jnp, so the pipeline weights never round-trip through the host
         merged = apply_perturb(params, pt)
-        return get_pipeline(merged, scheduler)
+        pipe = get_pipeline(merged, scheduler)
+        if mesh is not None:
+            pipe.mesh = mesh  # per-epoch measure/grids sample data-parallel
+        return pipe
 
     tracker = Tracker(os.path.join(config.output_dir, "logs"), project=config.project,
                       run_name=os.path.basename(config.output_dir))

@@ -286,8 +286,19 @@ def batch_sampling_save(
         for s in sizes:
             chunks.append(init[ofs : ofs + s])
             ofs += s
+    # PNG encode+IO overlaps the next chunk's device compute: the sampler
+    # dispatches asynchronously, so a single writer thread hides the ~seconds
+    # of host-side encoding per 256-image chunk behind the TPU's work
+    from concurrent.futures import ThreadPoolExecutor
+
     cnt = 0
-    for i, (s, chunk) in enumerate(zip(sizes, chunks)):
-        out = pipeline(batch_size=s, key=jax.random.fold_in(key, i), init=chunk, **kwargs)
-        save_images(out.images, path, start_cnt=cnt)
-        cnt += s
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = []
+        for i, (s, chunk) in enumerate(zip(sizes, chunks)):
+            out = pipeline(batch_size=s, key=jax.random.fold_in(key, i), init=chunk, **kwargs)
+            pending.append(pool.submit(save_images, out.images, path, start_cnt=cnt))
+            cnt += s
+            while len(pending) > 2:  # bound host memory to ~2 in-flight chunks
+                pending.pop(0).result()
+        for f in pending:
+            f.result()
