@@ -112,7 +112,18 @@ def main():
     pipe(init=init, num_inference_steps=1000, key=jax.random.PRNGKey(8))  # compile (cached)
     t0 = time.perf_counter()
     pipe(init=init, num_inference_steps=1000, key=jax.random.PRNGKey(9))
-    sampling_imgs_per_sec = SAMPLING_BATCH / (time.perf_counter() - t0)
+    dt_samp = time.perf_counter() - t0
+    sampling_imgs_per_sec = SAMPLING_BATCH / dt_samp
+
+    # sampling roofline: XLA's cost model counts the scan BODY once, not
+    # x trip-count — scale by the 1000 steps (examples/mfu_analysis.py)
+    try:
+        srun = pipe._sample_fn(SAMPLING_BATCH, 1000, 0, None)
+        ca2 = srun.lower(pipe.params, jnp.asarray(init), jax.random.PRNGKey(9)).compile().cost_analysis()
+        samp_flops = float(ca2.get("flops", 0.0)) * 1000
+        samp_bytes = float(ca2.get("bytes accessed", 0.0)) * 1000
+    except Exception:
+        samp_flops = samp_bytes = 0.0
 
     dt_step = best_dt / MEASURE_STEPS
     v5e_peak_flops, v5e_hbm = 197e12, 819e9
@@ -134,6 +145,9 @@ def main():
         out["train_hbm_util_pct"] = round(step_bytes / dt_step / v5e_hbm * 100, 1)
         out["train_step_gflop"] = round(step_flops / 1e9, 1)
         out["train_step_ms"] = round(dt_step * 1e3, 2)
+    if samp_flops:
+        out["sampling_mfu_pct"] = round(samp_flops / dt_samp / v5e_peak_flops * 100, 1)
+        out["sampling_hbm_util_pct"] = round(samp_bytes / dt_samp / v5e_hbm * 100, 1)
     print(json.dumps(out))
 
 

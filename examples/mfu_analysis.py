@@ -68,6 +68,12 @@ def main(measure: bool, image_size: int = 32, batch: int = 128, grad_accum: int 
     ca = compiled.cost_analysis()
     flops = float(ca.get("flops", 0.0))
     bytes_moved = float(ca.get("bytes accessed", 0.0))
+    if grad_accum > 1:
+        # XLA's cost model counts the accumulation scan's body once, not
+        # x trip-count — scale (slightly over-counts the once-per-step
+        # optimizer update, which is small against grad_accum fwd+bwd bodies)
+        flops *= grad_accum
+        bytes_moved *= grad_accum
     t_compute = flops / V5E_PEAK_BF16_FLOPS
     t_mem = bytes_moved / V5E_HBM_BYTES_PER_S
     print(f"train step ({image_size}px, micro-batch {batch} x accum {grad_accum}"
@@ -95,6 +101,53 @@ def main(measure: bool, image_size: int = 32, batch: int = 128, grad_accum: int 
               f"{sps/sol_sps*100:.1f}% of SOL")
 
 
+def sampling_main(measure: bool, batch: int = 128, steps: int = 1000, eval_dtype: str = "bf16") -> None:
+    """Roofline for the 1000-step DDPM sampling scan bench.py times (the
+    --eval_dtype bf16 throughput mode by default)."""
+    from baddiffusion_tpu.models import DEFAULT_SCRATCH_CONFIG, UNet2DModel
+    from baddiffusion_tpu.pipelines import DiffusionPipeline
+    from baddiffusion_tpu.schedulers import DDPMConfig, DDPMScheduler
+
+    cfg = dataclasses.replace(DEFAULT_SCRATCH_CONFIG, sample_size=32)
+    model = UNet2DModel(cfg, dtype=jnp.float32)
+    params = jax.device_put(jax.jit(model.init_params)(jax.random.PRNGKey(0)))
+    pipe = DiffusionPipeline(
+        model, params, DDPMScheduler(DDPMConfig()),
+        compute_dtype=jnp.bfloat16 if eval_dtype == "bf16" else None,
+    )
+    run = pipe._sample_fn(batch, steps, 0, None)
+    init = jnp.zeros(pipe.sample_shape(batch), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    compiled = run.lower(params, init, key).compile()
+    ca = compiled.cost_analysis()
+    # XLA's cost model counts a lax.scan/While BODY ONCE, not x trip-count
+    # (verified: it reports ~0.9 TFLOP for 1000 steps of a UNet forward whose
+    # single pass is ~0.9 TFLOP). Scale by the step count; the ops outside the
+    # scan (init handling, final to_images) are negligible against 1000 bodies.
+    flops = float(ca.get("flops", 0.0)) * steps
+    bytes_moved = float(ca.get("bytes accessed", 0.0)) * steps
+    t_compute = flops / V5E_PEAK_BF16_FLOPS
+    t_mem = bytes_moved / V5E_HBM_BYTES_PER_S
+    print(f"sampling ({steps} steps, batch {batch}, {eval_dtype}): "
+          f"{flops/1e12:.2f} TFLOP, {bytes_moved/2**30:.1f} GiB moved (scan body x{steps})")
+    print(f"  speed-of-light: compute {t_compute:.2f} s, memory {t_mem:.2f} s "
+          f"-> bound: {'compute' if t_compute > t_mem else 'memory'}")
+    sol_ips = batch / max(t_compute, t_mem)
+    print(f"  SOL imgs/sec: {sol_ips:.2f}")
+    if measure:
+        images, _ = run(params, init, key)  # compile+warm (cached)
+        jax.block_until_ready(images)
+        t0 = time.perf_counter()
+        images, _ = run(params, init, jax.random.PRNGKey(1))
+        jax.block_until_ready(images)
+        dt = time.perf_counter() - t0
+        ips = batch / dt
+        print(f"  measured: {dt:.2f} s = {ips:.2f} imgs/s "
+              f"-> MFU {flops/dt/V5E_PEAK_BF16_FLOPS*100:.1f}%, "
+              f"HBM util {bytes_moved/dt/V5E_HBM_BYTES_PER_S*100:.1f}%, "
+              f"{ips/sol_ips*100:.1f}% of SOL")
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--measure", action="store_true")
@@ -102,5 +155,11 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=128, help="micro-batch (per accumulation step)")
     p.add_argument("--grad_accum", type=int, default=1)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--sampling", action="store_true", help="analyze the 1000-step sampling scan instead")
+    p.add_argument("--sampling_steps", type=int, default=1000)
+    p.add_argument("--eval_dtype", choices=["bf16", "fp32"], default="bf16")
     a = p.parse_args()
-    main(a.measure, a.image_size, a.batch, a.grad_accum, a.remat)
+    if a.sampling:
+        sampling_main(a.measure, a.batch, a.sampling_steps, a.eval_dtype)
+    else:
+        main(a.measure, a.image_size, a.batch, a.grad_accum, a.remat)
