@@ -71,12 +71,15 @@ class LDMPipeline:
 
         def apply_fn(p, x, t):
             # scheduler math stays in the latent's dtype (f32)
-            return unet.apply({"params": cast_params(p, cast)}, x, t).astype(x.dtype)
+            return unet.apply({"params": p}, x, t).astype(x.dtype)
 
         clip = 1.0 if self.clip_sample else None
 
         @jax.jit
         def run(unet_params, vq_params, init, key):
+            # cast once before the scan (see pipeline.py: guarantees bf16
+            # weight streaming without relying on XLA loop-invariant hoisting)
+            unet_params = cast_params(unet_params, cast)
             latents, movie = sample_loop(
                 scheduler, state, apply_fn, unet_params, init, key, clip_each_step=clip,
                 capture_every=capture_every,

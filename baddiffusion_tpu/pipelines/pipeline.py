@@ -130,7 +130,7 @@ class DiffusionPipeline:
 
         def apply_fn(p, x, t):
             # the scheduler update runs in the sample's dtype (f32) regardless
-            return unet.apply({"params": cast_params(p, cast)}, x, t).astype(x.dtype)
+            return unet.apply({"params": p}, x, t).astype(x.dtype)
 
         is_sde_ve = scheduler.hf_class_name == "ScoreSdeVeScheduler"
         is_karras_ve = scheduler.hf_class_name == "KarrasVeScheduler"
@@ -150,6 +150,11 @@ class DiffusionPipeline:
 
         @partial(jax.jit, **jit_kw)
         def run(params, init, key):
+            # cast the weights once before the scan so bf16 weight streaming
+            # never depends on XLA hoisting the convert out of the loop body
+            # (measured neutral on v5e — XLA does hoist it — but the guarantee
+            # is free and portable)
+            params = cast_params(params, cast)
             if is_karras_ve:
                 # KarrasVe's step signature (sigma_hat/sigma_prev args) is
                 # incompatible with the generic sample_loop; route to its own
