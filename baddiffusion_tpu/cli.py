@@ -246,11 +246,12 @@ def load_pipeline_for_eval(config: TrainingConfig):
 
 
 def _eval_is_primary() -> bool:
-    """The eval pipeline is loaded from disk onto each process's own devices
-    (no global mesh, no collectives), so in a multi-process launch every
-    process would redo the SAME sampling and race on score.json / the PNG
-    dirs. Only process 0 evaluates; peers skip (train_loop applies the same
-    discipline one level down for its in-training sampling/export)."""
+    """Gate for the small qualitative-sampling path (16 grid images): in a
+    multi-process launch every process would redo the SAME work and race on
+    the output files, so only process 0 runs it (train_loop applies the same
+    discipline one level down for its in-training sampling/export). The
+    2048-sample measure does NOT use this gate — it shards sampling across
+    processes (see run_measure)."""
     if jax.process_count() > 1 and jax.process_index() != 0:
         Log.info(f"process {jax.process_index()}: eval runs on process 0 only, skipping")
         return False
@@ -304,11 +305,18 @@ def update_score_file(config: TrainingConfig, score_file: str, fid_sc, mse_sc, s
 
 def run_measure(config: TrainingConfig, dsl: Optional[DatasetLoader] = None, resample: bool = True, recomp: bool = True) -> None:
     """FID (clean gen vs real) + MSE/SSIM (backdoor gen vs tiled target)
-    (reference measure(), baddiffusion.py:477-551)."""
-    if not _eval_is_primary():
-        return
+    (reference measure(), baddiffusion.py:477-551).
+
+    Multi-process launches shard the 2048-sample generation across processes
+    (each samples its round-robin share of the eval chunks on its own local
+    devices — global chunk indices key both the PRNG and the PNG names, so
+    the assembled directory is byte-identical to a single-process run), then
+    barrier; process 0 alone computes the metrics and writes score.json.
+    Assumes the run dir is on a filesystem shared by all processes — the same
+    contract the multi-process checkpoint already requires."""
     dsl = dsl or get_data_loader(config)
     pipeline = load_pipeline_for_eval(config)
+    shard_index, shard_count = jax.process_index(), jax.process_count()
 
     # folders (reference :492-500); the real-image dump is cwd-relative
     dataset_img_dir = os.path.join("measure", config.dataset)
@@ -320,7 +328,7 @@ def run_measure(config: TrainingConfig, dsl: Optional[DatasetLoader] = None, res
     backdoor_path = os.path.join(*folder_parts, "backdoor" + suffix)
 
     recomp_clean = recomp_backdoor = recomp
-    if not os.path.isdir(dataset_img_dir):
+    if shard_index == 0 and not os.path.isdir(dataset_img_dir):
         # membership matches the reference's ds.shuffle(seed)[:n] dump
         # (baddiffusion.py:489,503-508) — see DatasetLoader.real_image_sample
         imgs01 = dsl.real_image_sample(config.measure_sample_n).astype(np.float32) / 255.0
@@ -332,15 +340,27 @@ def run_measure(config: TrainingConfig, dsl: Optional[DatasetLoader] = None, res
     noise = np.asarray(jax.random.normal(key, shape, dtype=np.float32))
     backdoor_noise = noise + dsl.trigger[None]
 
+    # every process sees the same shared run dir, so these decisions agree
+    # across processes and all shards of a branch sample (or skip) together
     steps_kw = {} if config.measure_steps is None else {"num_inference_steps": config.measure_steps}
+    shard_kw = {"shard_index": shard_index, "shard_count": shard_count}
     if not os.path.isdir(clean_path) or resample:
         batch_sampling_save(config.measure_sample_n, pipeline, clean_path, init=noise,
-                            max_batch_n=config.eval_max_batch, key=key, **steps_kw)
+                            max_batch_n=config.eval_max_batch, key=key, **shard_kw, **steps_kw)
         recomp_clean = True
     if not os.path.isdir(backdoor_path) or resample:
         batch_sampling_save(config.measure_sample_n, pipeline, backdoor_path, init=backdoor_noise,
-                            max_batch_n=config.eval_max_batch, key=key, **steps_kw)
+                            max_batch_n=config.eval_max_batch, key=key, **shard_kw, **steps_kw)
         recomp_backdoor = True
+
+    if shard_count > 1:
+        # all shards' PNGs must be on disk before process 0 scores the dirs
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("baddiffusion_measure_sampled")
+        if shard_index != 0:
+            Log.info(f"process {shard_index}: sampling shard done; metrics run on process 0")
+            return
 
     fid_sc = mse_sc = ssim_sc = None
     if recomp_clean:

@@ -289,6 +289,12 @@ def setup(argv: Optional[List[str]] = None) -> TrainingConfig:
         config.output_dir = os.path.join(config.result, naming_fn(config))
 
     Log.info(f"MODE: {config.mode}")
+    # multi-process launches share one run dir: every process derives the
+    # same config, but only process 0 writes the metadata files (identical
+    # content — gating just avoids concurrent same-file writes on a pod)
+    import jax
+
+    is_primary = jax.process_index() == 0
     if config.mode in (MODE_TRAIN, MODE_TRAIN_MEASURE):
         if not config.overwrite and os.path.isdir(config.output_dir):
             raise ValueError(
@@ -296,12 +302,13 @@ def setup(argv: Optional[List[str]] = None) -> TrainingConfig:
                 "please set overwrite flag --overwrite or -o"
             )
         os.makedirs(config.output_dir, exist_ok=True)
-        with open(os.path.join(config.output_dir, "args.json"), "w") as f:
-            json.dump(vars(args), f, indent=2)
-        config.save_json(os.path.join(config.output_dir, "config.json"))
-    elif config.mode == MODE_SAMPLING:
+        if is_primary:
+            with open(os.path.join(config.output_dir, "args.json"), "w") as f:
+                json.dump(vars(args), f, indent=2)
+            config.save_json(os.path.join(config.output_dir, "config.json"))
+    elif config.mode == MODE_SAMPLING and is_primary:
         config.save_json(os.path.join(config.output_dir, "sampling.json"))
-    if config.mode in (MODE_MEASURE, MODE_TRAIN_MEASURE):
+    if config.mode in (MODE_MEASURE, MODE_TRAIN_MEASURE) and is_primary:
         # train+measure also records measure.json (baddiffusion.py:233-234)
         config.save_json(os.path.join(config.output_dir, "measure.json"))
 

@@ -277,9 +277,18 @@ def batch_sampling_save(
     init: Optional[np.ndarray] = None,
     max_batch_n: int = 256,
     key: Optional[jax.Array] = None,
+    shard_index: int = 0,
+    shard_count: int = 1,
     **kwargs,
 ) -> None:
-    """Stream-save PNGs with a running index (reference model.py:504-529)."""
+    """Stream-save PNGs with a running index (reference model.py:504-529).
+
+    ``shard_index``/``shard_count`` split the work across cooperating callers
+    (one per jax process on a pod): chunks are assigned round-robin by GLOBAL
+    chunk index, and both the per-chunk PRNG key (``fold_in(key, i)``) and the
+    PNG filename offset use that global index — so the union of all shards'
+    outputs is byte-identical to a single-caller run, for any shard_count.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     if init is None:
@@ -296,13 +305,14 @@ def batch_sampling_save(
     # of host-side encoding per 256-image chunk behind the TPU's work
     from concurrent.futures import ThreadPoolExecutor
 
-    cnt = 0
+    offsets = np.concatenate([[0], np.cumsum(sizes[:-1])]) if sizes else []
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = []
         for i, (s, chunk) in enumerate(zip(sizes, chunks)):
+            if i % shard_count != shard_index:
+                continue
             out = pipeline(batch_size=s, key=jax.random.fold_in(key, i), init=chunk, **kwargs)
-            pending.append(pool.submit(save_images, out.images, path, start_cnt=cnt))
-            cnt += s
+            pending.append(pool.submit(save_images, out.images, path, start_cnt=int(offsets[i])))
             while len(pending) > 2:  # bound host memory to ~2 in-flight chunks
                 pending.pop(0).result()
         for f in pending:

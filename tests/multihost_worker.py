@@ -175,6 +175,33 @@ def main() -> None:
         b = gather_tree_to_host(ref_state.params)
         jax.tree.map(lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)), a, b)
         print(f"MULTIHOST_RESUME_OK {losses[0]:.6f}", flush=True)
+
+    elif phase == "cli":
+        # the PRODUCTION driver end-to-end in a multi-process world:
+        # train+measure through cli.main() — run_train builds the global mesh,
+        # checkpoints multi-process-safe, and run_measure shards the sample
+        # generation across processes (round-robin eval chunks), barriers,
+        # then scores on process 0 only.
+        assert out_dir is not None
+        os.environ["BADDIFFUSION_TINY_ARCH"] = "1"  # tiny scratch arch (as test_cli_e2e)
+        from baddiffusion_tpu import cli as blcli
+
+        os.chdir(out_dir)  # the real-image dump is cwd-relative
+        # batch 64 -> grad-accum 2 -> loader global batch 128 = fake_size:
+        # exactly one train step (mirrors test_cli_e2e's smoke sizing)
+        blcli.main([
+            "--mode", "train+measure", "--dataset", "FAKE", "--batch", "64",
+            "--epoch", "1", "--fake_size", "128", "--poison_rate", "0.25",
+            "--trigger", "BOX_8", "--target", "CORNER",
+            "--measure_sample_n", "6", "--eval_max_batch", "2",
+            "--sampling_steps", "2", "--measure_steps", "2",
+            "--result", out_dir, "-o",
+        ])
+        run_dir = os.path.join(out_dir, "res_None_FAKE_ep1_c1.0_p0.25_BOX_8-CORNER")
+        n_png = len(
+            [f for f in os.listdir(os.path.join(run_dir, "measure", "clean_noclip")) if f.endswith(".png")]
+        ) if proc_id == 0 else -1
+        print(f"MULTIHOST_CLI_OK {n_png}", flush=True)
     else:
         raise SystemExit(f"unknown phase {phase!r}")
 

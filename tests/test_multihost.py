@@ -139,3 +139,24 @@ class TestTwoProcessIntegration:
         outs = _launch("resume", layout, out_dir)
         resumed = _marker_losses(outs, "MULTIHOST_RESUME_OK")
         assert len(resumed) == 2 and resumed[0] == resumed[1], outs
+
+    def test_two_process_cli_train_measure_sharded_eval(self, tmp_path):
+        """The production cli.main() end-to-end in 2 processes: global-mesh
+        training, multi-process checkpoint, then run_measure sharding the
+        sample generation across BOTH processes (round-robin eval chunks into
+        one shared dir), barrier, metrics + score.json on process 0 only."""
+        import json
+
+        out_dir = str(tmp_path / "cli_world")
+        os.makedirs(out_dir, exist_ok=True)
+        outs = _launch("cli", "replicated", out_dir)
+        counts = _marker_losses(outs, "MULTIHOST_CLI_OK")
+        assert sorted(counts) == ["-1", "6"], outs  # proc 0 saw all 6 PNGs
+
+        run_dir = os.path.join(out_dir, "res_None_FAKE_ep1_c1.0_p0.25_BOX_8-CORNER")
+        for branch in ("clean_noclip", "backdoor_noclip"):
+            files = sorted(os.listdir(os.path.join(run_dir, "measure", branch)))
+            assert files == [f"{i}.png" for i in range(6)], (branch, files)
+        with open(os.path.join(run_dir, "score.json")) as f:
+            sc = json.load(f)
+        assert np.isfinite(sc["MSE_noclip"]) and np.isfinite(sc["SSIM_noclip"]), sc

@@ -97,6 +97,24 @@ class TestPipeline:
         files = sorted(os.listdir(tmp_path))
         assert files == ["0.png", "1.png", "2.png"]
 
+    @pytest.mark.parametrize("shard_count", [2, 3])
+    def test_batch_sampling_save_sharded_matches_single(self, pipe, tmp_path, shard_count):
+        """The union of all shards' outputs is byte-identical to an unsharded
+        run for any shard_count (the pod-measure invariance run_measure relies
+        on): global chunk indices key the PRNG and the filename offsets."""
+        import os
+
+        init = np.random.RandomState(1).randn(7, 8, 8, 3).astype(np.float32)
+        single, sharded = tmp_path / "single", tmp_path / "sharded"
+        kw = dict(init=init, max_batch_n=2, num_inference_steps=3, key=jax.random.PRNGKey(3))
+        batch_sampling_save(7, pipe, str(single), **kw)
+        for s in range(shard_count):
+            batch_sampling_save(7, pipe, str(sharded), shard_index=s, shard_count=shard_count, **kw)
+        names = sorted(os.listdir(single))
+        assert sorted(os.listdir(sharded)) == names == [f"{i}.png" for i in range(7)]
+        for n in names:
+            assert (single / n).read_bytes() == (sharded / n).read_bytes(), n
+
     def test_save_load_roundtrip(self, pipe, tmp_path):
         pipe.save_pretrained(str(tmp_path))
         import os
