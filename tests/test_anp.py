@@ -61,6 +61,21 @@ def test_perturb_matches_degenerate_bn():
     np.testing.assert_allclose(np.asarray(y_merged), np.asarray(y_direct), atol=1e-5)
 
 
+def test_anp_cli_rejects_multi_process(monkeypatch, tmp_path):
+    """anp_cli is single-process by design (reference parity: anp_util.py:130);
+    a pod launch must fail loud instead of duplicating work per process."""
+    import pytest
+
+    from baddiffusion_tpu import anp_cli
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(
+        anp_cli, "get_config", lambda argv=None: type("C", (), {"output_dir": str(tmp_path)})()
+    )
+    with pytest.raises(NotImplementedError, match="single-process"):
+        anp_cli.main([])
+
+
 def test_clip_budget():
     model, params = setup_model()
     perturb = init_perturb(params)
