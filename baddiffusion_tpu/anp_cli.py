@@ -160,17 +160,20 @@ def measure(config: ANPConfig, pipeline, dsl, tracker, epoch: Optional[int] = No
 
 
 def main(argv=None):
-    config = get_config(argv)
     if jax.process_count() > 1:
         # the ANP recipe is small (5 epochs, measure_sample_n=128); it runs
         # single-process over all local chips. The multi-process feed/eval
         # discipline (host shard assembly, process-0 gating) is not wired
         # here — fail loud rather than duplicate work per process. (The
-        # reference driver is single-process too, anp_util.py:130.)
+        # reference driver is single-process too, anp_util.py:130.) The
+        # guard must run BEFORE get_config, which mkdirs the shared output
+        # dir and writes config.json — N processes doing that concurrently
+        # can tear the file.
         raise NotImplementedError(
             "anp_cli is single-process (multi-chip within one process is "
             "supported); launch it without jax.distributed"
         )
+    config = get_config(argv)
     dsl = DatasetLoader(
         config.dataset, root=config.dataset_path, batch_size=config.batch,
         seed=config.seed, fake_size=config.fake_size,

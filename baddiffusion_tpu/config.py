@@ -296,16 +296,37 @@ def setup(argv: Optional[List[str]] = None) -> TrainingConfig:
 
     is_primary = jax.process_index() == 0
     if config.mode in (MODE_TRAIN, MODE_TRAIN_MEASURE):
-        if not config.overwrite and os.path.isdir(config.output_dir):
-            raise ValueError(
-                f"Output directory: {config.output_dir} has already been created, "
-                "please set overwrite flag --overwrite or -o"
-            )
-        os.makedirs(config.output_dir, exist_ok=True)
         if is_primary:
+            # the overwrite decision is made exactly once, on process 0: if
+            # peers also ran the isdir check they would race process 0's
+            # mkdir and spuriously raise "already been created" on a pod
+            if not config.overwrite and os.path.isdir(config.output_dir):
+                raise ValueError(
+                    f"Output directory: {config.output_dir} has already been created, "
+                    "please set overwrite flag --overwrite or -o"
+                )
+            os.makedirs(config.output_dir, exist_ok=True)
             with open(os.path.join(config.output_dir, "args.json"), "w") as f:
                 json.dump(vars(args), f, indent=2)
             config.save_json(os.path.join(config.output_dir, "config.json"))
+        else:
+            # peers wait for process 0's mkdir on the shared run FS; if the
+            # primary rejected the run (overwrite check) the dir never
+            # appears and peers exit with a pointer instead of hanging in
+            # the first collective until the distributed timeout
+            import time
+
+            deadline = time.monotonic() + 300.0
+            while not os.path.isdir(config.output_dir):
+                if time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"process {jax.process_index()}: run dir "
+                        f"{config.output_dir} never appeared — process 0 "
+                        "likely refused the launch (see its log; e.g. the "
+                        "--overwrite check) or the run dir is not on a "
+                        "shared filesystem"
+                    )
+                time.sleep(0.5)
     elif config.mode == MODE_SAMPLING and is_primary:
         config.save_json(os.path.join(config.output_dir, "sampling.json"))
     if config.mode in (MODE_MEASURE, MODE_TRAIN_MEASURE) and is_primary:

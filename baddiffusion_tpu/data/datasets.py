@@ -55,10 +55,46 @@ def _fake_images(n: int, size: int, channel: int, seed: int = 1234, out=None) ->
 
 
 def _mmap_cache_path(root: Optional[str], key: str) -> str:
-    """Path of the one-time decode cache (<root>/.decoded/<key>.npy)."""
-    d = os.path.join(root or "datasets", ".decoded")
-    os.makedirs(d, exist_ok=True)
-    return os.path.join(d, key + ".npy")
+    """Path of the one-time decode cache (<root>/.decoded/<key>.npy).
+
+    Pure path math — the directory is created in ``_build_memmap`` only when
+    a cache is actually written, so small in-RAM runs (every smoke test and
+    bench) leave no stray ``.decoded/`` dirs behind."""
+    return os.path.join(root or "datasets", ".decoded", key + ".npy")
+
+
+def _wait_for_peer_cache(cache: str, grace_s: float = 15.0, stall_s: float = 600.0) -> None:
+    """Non-primary processes: wait for another process's decode cache, but
+    only while one is observably being built. Returns (rather than raising)
+    as soon as waiting is pointless; the caller then builds locally.
+
+    - shared dataset root: a builder's ``<cache>.tmp.<pid>`` scratch file is
+      visible and its size advances → keep waiting until ``os.replace``
+      installs the cache (or the builder stalls for ``stall_s``).
+    - per-host dataset root: nothing ever appears → return after ``grace_s``
+      so the peer decodes its own local copy instead of deadlocking."""
+    import glob as _glob
+    import time
+
+    deadline_grace = time.monotonic() + grace_s
+    last_progress = time.monotonic()
+    last_size = -1
+    while not os.path.exists(cache):
+        sizes = []
+        for p in _glob.glob(cache + ".tmp.*"):
+            try:
+                sizes.append(os.path.getsize(p))
+            except OSError:  # builder just renamed/removed it
+                pass
+        if sizes:
+            if max(sizes) != last_size:
+                last_size = max(sizes)
+                last_progress = time.monotonic()
+            if time.monotonic() - last_progress > stall_s:
+                return  # builder died or wedged — build locally
+        elif time.monotonic() > deadline_grace:
+            return  # no builder visible — per-host root, build locally
+        time.sleep(1.0)
 
 
 def _build_memmap(cache: str, shape, fill) -> np.ndarray:
@@ -70,22 +106,21 @@ def _build_memmap(cache: str, shape, fill) -> np.ndarray:
 
     Concurrency: the scratch file is pid-unique so concurrent builders never
     truncate each other's live mapping (os.replace is atomic; last writer
-    wins). Under jax.distributed, only process 0 decodes — peers poll for the
-    installed cache instead of redoing a multi-GB decode in parallel."""
+    wins). Under jax.distributed, peers first wait for a visible builder's
+    cache (shared dataset root: process 0's ``.tmp.<pid>`` scratch file is
+    observable and growing); when no builder is visible or it stalls — the
+    normal case when the dataset root is staged per host, where process 0's
+    files never appear on this host's disk — the peer decodes locally.
+    Duplicate builds are wasted work, never corruption."""
     if not os.path.exists(cache):
         import jax
 
         if jax.process_count() > 1 and jax.process_index() != 0:
-            import time
-
-            deadline = time.monotonic() + 24 * 3600
-            while not os.path.exists(cache):
-                if time.monotonic() > deadline:
-                    raise TimeoutError(f"waited 24h for process 0 to build {cache}")
-                time.sleep(2.0)
-        else:
+            _wait_for_peer_cache(cache)
+        if not os.path.exists(cache):
             tmp = f"{cache}.tmp.{os.getpid()}"
             try:
+                os.makedirs(os.path.dirname(cache), exist_ok=True)
                 out = np.lib.format.open_memmap(tmp, mode="w+", dtype=np.uint8, shape=shape)
                 fill(out)
                 out.flush()

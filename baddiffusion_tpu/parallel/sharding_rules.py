@@ -46,19 +46,20 @@ def shard_params(params: Dict[str, Any], mesh: Mesh, threshold: int = 256) -> Di
     )
 
 
-def _add_fsdp_axis(leaf, spec: P, data_size: int, min_size: int) -> P:
-    """Extend a (possibly TP-sharded) leaf spec with a DATA-axis shard on its
-    largest still-unsharded, mesh-divisible dimension. Leaves smaller than
-    ``min_size`` elements stay as-is — gathering tiny tensors costs more
-    latency than the memory they'd save."""
+def _add_fsdp_axis(leaf, spec: P, data_size: int, min_size: int, axis: str = None) -> P:
+    """Extend a (possibly TP-sharded) leaf spec with a shard over ``axis``
+    (default: the data axis) on its largest still-unsharded, mesh-divisible
+    dimension. Leaves smaller than ``min_size`` elements stay as-is —
+    gathering tiny tensors costs more latency than the memory they'd save."""
     from baddiffusion_tpu.parallel.mesh import DATA_AXIS
 
+    axis = axis or DATA_AXIS
     if leaf.size < min_size:
         return spec
     ext = tuple(spec) + (None,) * (leaf.ndim - len(spec))
     for d in sorted(range(leaf.ndim), key=lambda d: leaf.shape[d], reverse=True):
         if ext[d] is None and leaf.shape[d] % data_size == 0:
-            return P(*(DATA_AXIS if i == d else ext[i] for i in range(leaf.ndim)))
+            return P(*(axis if i == d else ext[i] for i in range(leaf.ndim)))
     return spec
 
 
@@ -75,7 +76,7 @@ def fsdp_param_specs(
     exceed a single chip's HBM.
     """
 
-    return jax.tree.map(lambda l: _add_fsdp_axis(l, P(), axis_size, min_size), params)
+    return jax.tree.map(lambda l: _add_fsdp_axis(l, P(), axis_size, min_size, axis), params)
 
 
 def train_state_specs(

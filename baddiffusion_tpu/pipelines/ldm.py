@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+from functools import partial
 from typing import Optional
 
 import jax
@@ -43,6 +44,10 @@ class LDMPipeline:
         # optional UNet compute dtype override (--eval_dtype bf16); the VQ
         # decode stays in the params' dtype (one call per batch, negligible)
         self.compute_dtype = None
+        # optional data-parallel sampling mesh (set by load_pipeline_for_eval,
+        # same contract as DiffusionPipeline.mesh): the latent batch shards
+        # over the 'data' axis, params replicate
+        self.mesh = None
         self._jit_cache = {}
 
     # -- latent helpers (reference :44-67) --------------------------------------
@@ -60,7 +65,9 @@ class LDMPipeline:
 
     def _sample_fn(self, batch_size: int, num_inference_steps: int, capture_every):
         cast = self.compute_dtype
-        cache_key = (batch_size, num_inference_steps, capture_every, dtype_cache_key(cast))
+        # compute_dtype/mesh are mutable post-init → part of the cache key
+        cache_key = (batch_size, num_inference_steps, capture_every,
+                     dtype_cache_key(cast), self.mesh)
         if cache_key in self._jit_cache:
             return self._jit_cache[cache_key]
         scheduler = self.scheduler
@@ -75,7 +82,21 @@ class LDMPipeline:
 
         clip = 1.0 if self.clip_sample else None
 
-        @jax.jit
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            jit_kw = {
+                "in_shardings": (
+                    NamedSharding(self.mesh, P()),        # unet params replicated
+                    NamedSharding(self.mesh, P()),        # vq params replicated
+                    NamedSharding(self.mesh, P("data")),  # latent batch over data
+                    NamedSharding(self.mesh, P()),        # key replicated
+                ),
+            }
+        else:
+            jit_kw = {}
+
+        @partial(jax.jit, **jit_kw)
         def run(unet_params, vq_params, init, key):
             # cast once before the scan (see pipeline.py: guarantees bf16
             # weight streaming without relying on XLA loop-invariant hoisting)
@@ -118,13 +139,23 @@ class LDMPipeline:
         else:
             init = jnp.asarray(init, jnp.float32)
             batch_size = init.shape[0]
-        run = self._sample_fn(batch_size, n, capture_every)
-        self.params = ensure_on_device(self.params)
-        self.vqvae_params = ensure_on_device(self.vqvae_params)
+        # a sharded batch must divide the data axis: pad with copies of row 0
+        # and trim after (same contract as DiffusionPipeline.__call__)
+        pad = 0
+        if self.mesh is not None:
+            data_size = self.mesh.shape["data"]
+            pad = (-batch_size) % data_size
+            if pad:
+                init = jnp.concatenate(
+                    [init, jnp.broadcast_to(init[:1], (pad,) + init.shape[1:])]
+                )
+        run = self._sample_fn(batch_size + pad, n, capture_every)
+        self.params = ensure_on_device(self.params, self.mesh)
+        self.vqvae_params = ensure_on_device(self.vqvae_params, self.mesh)
         images, movie = run(self.params, self.vqvae_params, init, key)
-        return PipelineOutput(
-            images=np.asarray(images), movie=None if movie is None else np.asarray(movie)
-        )
+        images = np.asarray(images)[:batch_size]
+        movie = None if movie is None else np.asarray(movie)[:, :batch_size]
+        return PipelineOutput(images=images, movie=movie)
 
     # -- serialization -----------------------------------------------------------
     def save_pretrained(self, save_directory: str) -> None:

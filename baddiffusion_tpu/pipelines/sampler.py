@@ -183,7 +183,14 @@ def ensure_on_device(params, mesh=None):
         from jax.sharding import NamedSharding, PartitionSpec
 
         sharding = NamedSharding(mesh, PartitionSpec())
-        if leaves and isinstance(leaves[0], jax.Array) and leaves[0].sharding == sharding:
+        # EVERY leaf must already be in the replicated layout to skip the put:
+        # a mixed tree (e.g. FSDP keeps small biases replicated but shards the
+        # large kernels, and a bias can sort first) would otherwise pass a
+        # first-leaf check and push the per-call all-gather into the jitted
+        # sampler — the exact re-broadcast this pin exists to avoid.
+        if leaves and all(
+            isinstance(l, jax.Array) and l.sharding == sharding for l in leaves
+        ):
             return params
         return jax.device_put(params, sharding)
     if leaves and not isinstance(leaves[0], jax.Array):

@@ -61,17 +61,20 @@ def test_perturb_matches_degenerate_bn():
     np.testing.assert_allclose(np.asarray(y_merged), np.asarray(y_direct), atol=1e-5)
 
 
-def test_anp_cli_rejects_multi_process(monkeypatch, tmp_path):
+def test_anp_cli_rejects_multi_process(monkeypatch):
     """anp_cli is single-process by design (reference parity: anp_util.py:130);
-    a pod launch must fail loud instead of duplicating work per process."""
+    a pod launch must fail loud BEFORE get_config's side effects (shared-dir
+    mkdir + config.json write) instead of duplicating work per process."""
     import pytest
 
     from baddiffusion_tpu import anp_cli
 
     monkeypatch.setattr(jax, "process_count", lambda: 2)
-    monkeypatch.setattr(
-        anp_cli, "get_config", lambda argv=None: type("C", (), {"output_dir": str(tmp_path)})()
-    )
+
+    def _boom(argv=None):  # the guard must fire before config side effects
+        raise AssertionError("get_config must not run on a multi-process launch")
+
+    monkeypatch.setattr(anp_cli, "get_config", _boom)
     with pytest.raises(NotImplementedError, match="single-process"):
         anp_cli.main([])
 

@@ -63,6 +63,33 @@ class TestSetup:
         with pytest.raises(ValueError, match="overwrite"):
             setup([a for a in args if a != "-o"])
 
+    def test_overwrite_check_is_primary_only(self, tmp_path, monkeypatch):
+        """On a pod, peers must not race process 0's mkdir into a spurious
+        'already been created': only process 0 makes the overwrite decision;
+        peers just wait for the dir (already present here → proceed)."""
+        import jax
+
+        args = train_args(tmp_path, ["--postfix", "mp"])
+        setup(args)  # process 0 creates the run dir
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        # same launch WITHOUT -o on a peer: no ValueError, dir already there
+        config = setup([a for a in args if a != "-o"])
+        assert os.path.isdir(config.output_dir)
+
+    def test_peer_times_out_when_primary_refused(self, tmp_path, monkeypatch):
+        """If process 0 refused the launch, the run dir never appears and a
+        peer must exit with a pointer instead of hanging in a collective."""
+        import time as _time
+
+        import jax
+
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        t = {"now": 0.0}
+        monkeypatch.setattr(_time, "monotonic", lambda: t.__setitem__("now", t["now"] + 200) or t["now"])
+        monkeypatch.setattr(_time, "sleep", lambda s: None)
+        with pytest.raises(RuntimeError, match="never appeared"):
+            setup(train_args(tmp_path, ["--postfix", "mp2"]))
+
     def test_invalid_arg_for_mode(self, tmp_path):
         config = setup(train_args(tmp_path, ["--postfix", "f"]))
         with pytest.raises(NotImplementedError, match="isn't used in mode"):

@@ -572,6 +572,67 @@ class TestStreamingStore:
         assert store.shape == (64, 16, 16, 1) and (np.asarray(store) == 7).all()
         assert not list(tmp_path.glob("c.npy.tmp*"))  # scratch files cleaned up
 
+    def test_small_runs_leave_no_stray_decoded_dir(self, tmp_path):
+        """In-RAM loads must not create '<root>/.decoded/' as a side effect
+        (every smoke/bench run constructs a small FAKE loader in cwd)."""
+        DatasetLoader(
+            DatasetLoader.FAKE, image_size=16, batch_size=8, fake_size=32,
+            root=str(tmp_path),
+        )
+        assert not (tmp_path / ".decoded").exists()
+
+    def test_peer_wait_falls_back_to_local_build(self, tmp_path, monkeypatch):
+        """Per-host dataset roots: a non-primary process polling for process
+        0's cache sees NO builder scratch file — it must fall back to its own
+        local decode instead of deadlocking (the run dir is shared on a pod,
+        the dataset root often is not)."""
+        import jax
+
+        from baddiffusion_tpu.data.datasets import _build_memmap
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        cache = str(tmp_path / ".decoded" / "x.npy")
+
+        def fill(out):
+            out[:] = 3
+
+        store = _build_memmap(cache, (8, 4, 4, 1), fill)  # returns, no 24h hang
+        assert (np.asarray(store) == 3).all()
+
+    def test_peer_wait_picks_up_shared_build(self, tmp_path):
+        """Shared dataset roots: while a builder's scratch file is visible and
+        growing, the peer keeps waiting and adopts the installed cache instead
+        of decoding a duplicate."""
+        import threading
+        import time as _time
+
+        from baddiffusion_tpu.data.datasets import _wait_for_peer_cache
+
+        tmp_path.joinpath(".decoded").mkdir()
+        cache = str(tmp_path / ".decoded" / "y.npy")
+        scratch = cache + ".tmp.999"
+
+        with open(scratch, "wb") as f:  # builder visible BEFORE the peer polls
+            f.write(b"x")
+
+        def builder():
+            _time.sleep(1.5)
+            with open(scratch, "ab") as f:  # still growing
+                f.write(b"y")
+            np.save(open(cache + ".part", "wb"), np.zeros((2, 2), np.uint8))
+            os.replace(cache + ".part", cache)
+            os.remove(scratch)
+
+        t = threading.Thread(target=builder)
+        t0 = _time.monotonic()
+        t.start()
+        _wait_for_peer_cache(cache, grace_s=0.5, stall_s=30.0)
+        t.join()
+        assert os.path.exists(cache)
+        # it genuinely waited past the grace window for the visible builder
+        assert _time.monotonic() - t0 > 1.0
+
     def test_restaged_dataset_invalidates_decode_cache(self, tmp_path):
         """Restaging a same-count dataset with different pixels must NOT be
         served from the old decode cache: the HF fingerprint keys the cache."""

@@ -246,3 +246,26 @@ class TestMeshSampling:
         mp = self._mesh_pipe(pipe)
         imgs = batch_sampling(12, mp, max_batch_n=8, num_inference_steps=4)
         assert imgs.shape == (12, 8, 8, 3)
+
+    def test_ensure_on_device_repins_mixed_sharded_tree(self):
+        """A tree whose FIRST leaf is already replicated but whose others are
+        mesh-sharded (FSDP keeps small biases replicated; a bias can sort
+        first) must still be re-pinned to the replicated layout — otherwise
+        the jitted sampler all-gathers the big kernels on EVERY call."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from baddiffusion_tpu.parallel import make_mesh
+        from baddiffusion_tpu.pipelines.sampler import ensure_on_device
+
+        mesh = make_mesh()
+        rep = NamedSharding(mesh, P())
+        tree = {
+            "a_bias": jax.device_put(jnp.zeros((4,)), rep),
+            "kernel": jax.device_put(jnp.zeros((8, 16)), NamedSharding(mesh, P("data"))),
+        }
+        assert jax.tree.leaves(tree)[0].sharding == rep  # the trap: leaf 0 passes
+        out = ensure_on_device(tree, mesh)
+        assert all(l.sharding == rep for l in jax.tree.leaves(out))
+        # fully-replicated trees pass through without a copy
+        again = ensure_on_device(out, mesh)
+        assert all(a is b for a, b in zip(jax.tree.leaves(again), jax.tree.leaves(out)))

@@ -215,3 +215,15 @@ def test_fsdp_state_sharding_and_step():
     # second step consumes the (donated) FSDP state fine
     s_fs, m_fs = step(s_fs, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(1))
     assert np.isfinite(float(m_fs["loss"]))
+
+
+def test_fsdp_param_specs_honors_axis_argument():
+    """fsdp_param_specs(axis=...) must shard over the REQUESTED mesh axis,
+    not silently fall back to the data axis."""
+    from baddiffusion_tpu.parallel import fsdp_param_specs
+
+    params = {"w": np.zeros((16, 8), np.float32), "b": np.zeros((4,), np.float32)}
+    specs = fsdp_param_specs(params, 4, min_size=1, axis="model")
+    flat = jax.tree.leaves(specs)  # PartitionSpec is itself a pytree leaf
+    assert any("model" in tuple(s) for s in flat)
+    assert not any("data" in tuple(s) for s in flat)

@@ -138,3 +138,23 @@ class TestLDMPipeline:
         a = pipe(batch_size=1, key=k, num_inference_steps=3).images
         b = loaded(batch_size=1, key=k, num_inference_steps=3).images
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_mesh_sharded_sampling_matches_single_device(self):
+        """LDM honors pipeline.mesh like DiffusionPipeline (the eval/measure
+        CLI sets it on ANY pipeline type): latent batch shards over 'data',
+        results match single-device, ragged batches pad+trim."""
+        from baddiffusion_tpu.parallel import make_mesh
+
+        pipe = make_ldm()
+        k = jax.random.PRNGKey(3)
+        a = pipe(batch_size=8, key=k, num_inference_steps=4).images
+        mp = make_ldm()
+        mp.mesh = make_mesh()
+        b = mp(batch_size=8, key=k, num_inference_steps=4).images
+        np.testing.assert_allclose(a, b, atol=1e-4)
+        # ragged: 5 doesn't divide the 8-device data axis
+        init = np.asarray(jax.random.normal(k, (5, 8, 8, 3), jnp.float32))
+        a = pipe(init=init, key=k, num_inference_steps=4).images
+        b = mp(init=init, key=k, num_inference_steps=4).images
+        assert b.shape == (5, 16, 16, 3)
+        np.testing.assert_allclose(a, b, atol=1e-4)
