@@ -340,15 +340,24 @@ def run_measure(config: TrainingConfig, dsl: Optional[DatasetLoader] = None, res
     noise = np.asarray(jax.random.normal(key, shape, dtype=np.float32))
     backdoor_noise = noise + dsl.trigger[None]
 
-    # every process sees the same shared run dir, so these decisions agree
-    # across processes and all shards of a branch sample (or skip) together
+    # the reuse decisions are snapshotted BEFORE any process starts sampling
+    # (and a barrier separates snapshot from sampling on a pod) — otherwise a
+    # slow process could observe a dir a fast process just created mid-run and
+    # skip its shard, leaving the branch silently incomplete
+    need_clean = resample or not os.path.isdir(clean_path)
+    need_backdoor = resample or not os.path.isdir(backdoor_path)
+    if shard_count > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("baddiffusion_measure_planned")
+
     steps_kw = {} if config.measure_steps is None else {"num_inference_steps": config.measure_steps}
     shard_kw = {"shard_index": shard_index, "shard_count": shard_count}
-    if not os.path.isdir(clean_path) or resample:
+    if need_clean:
         batch_sampling_save(config.measure_sample_n, pipeline, clean_path, init=noise,
                             max_batch_n=config.eval_max_batch, key=key, **shard_kw, **steps_kw)
         recomp_clean = True
-    if not os.path.isdir(backdoor_path) or resample:
+    if need_backdoor:
         batch_sampling_save(config.measure_sample_n, pipeline, backdoor_path, init=backdoor_noise,
                             max_batch_n=config.eval_max_batch, key=key, **shard_kw, **steps_kw)
         recomp_backdoor = True

@@ -214,6 +214,61 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _distributed_kv_client():
+    """The jax.distributed coordination-service KV client, or None outside a
+    multi-process launch (or if the internal API moved)."""
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.client
+    except Exception:
+        return None
+
+
+def _run_dir_key(output_dir: str) -> str:
+    return f"baddiffusion_tpu:run_dir_ready:{output_dir}"
+
+
+def _signal_run_dir_ready(output_dir: str) -> None:
+    """Process 0: tell peers THIS launch created/approved the run dir."""
+    client = _distributed_kv_client()
+    if client is not None:
+        client.key_value_set(_run_dir_key(output_dir), "ok")
+
+
+def _wait_run_dir_ready(output_dir: str, timeout_s: float = 300.0) -> None:
+    """Peers: block until process 0 approves the run dir for THIS launch.
+
+    Prefers the jax.distributed KV store: a key set by process 0 after its
+    --overwrite decision is launch-scoped, so a stale dir left by a PRIOR run
+    can't fool a peer into proceeding while process 0 is exiting with the
+    "already been created" ValueError. Without a coordination client
+    (single-controller tests), falls back to waiting for the dir itself —
+    which only proves a dir exists, not that this launch approved it."""
+    import jax
+
+    err = RuntimeError(
+        f"process {jax.process_index()}: run dir {output_dir} was never "
+        "approved by process 0 — it likely refused the launch (see its log; "
+        "e.g. the --overwrite check), or the run dir is not on a shared "
+        "filesystem"
+    )
+    client = _distributed_kv_client()
+    if client is not None:
+        try:
+            client.blocking_key_value_get(_run_dir_key(output_dir), int(timeout_s * 1000))
+        except Exception as e:
+            raise err from e
+        return
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while not os.path.isdir(output_dir):
+        if time.monotonic() > deadline:
+            raise err
+        time.sleep(0.5)
+
+
 def setup(argv: Optional[List[str]] = None) -> TrainingConfig:
     args = build_parser().parse_args(argv)
     config = TrainingConfig()
@@ -309,24 +364,9 @@ def setup(argv: Optional[List[str]] = None) -> TrainingConfig:
             with open(os.path.join(config.output_dir, "args.json"), "w") as f:
                 json.dump(vars(args), f, indent=2)
             config.save_json(os.path.join(config.output_dir, "config.json"))
+            _signal_run_dir_ready(config.output_dir)
         else:
-            # peers wait for process 0's mkdir on the shared run FS; if the
-            # primary rejected the run (overwrite check) the dir never
-            # appears and peers exit with a pointer instead of hanging in
-            # the first collective until the distributed timeout
-            import time
-
-            deadline = time.monotonic() + 300.0
-            while not os.path.isdir(config.output_dir):
-                if time.monotonic() > deadline:
-                    raise RuntimeError(
-                        f"process {jax.process_index()}: run dir "
-                        f"{config.output_dir} never appeared — process 0 "
-                        "likely refused the launch (see its log; e.g. the "
-                        "--overwrite check) or the run dir is not on a "
-                        "shared filesystem"
-                    )
-                time.sleep(0.5)
+            _wait_run_dir_ready(config.output_dir)
     elif config.mode == MODE_SAMPLING and is_primary:
         config.save_json(os.path.join(config.output_dir, "sampling.json"))
     if config.mode in (MODE_MEASURE, MODE_TRAIN_MEASURE) and is_primary:

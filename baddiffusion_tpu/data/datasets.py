@@ -63,14 +63,33 @@ def _mmap_cache_path(root: Optional[str], key: str) -> str:
     return os.path.join(root or "datasets", ".decoded", key + ".npy")
 
 
-def _wait_for_peer_cache(cache: str, grace_s: float = 15.0, stall_s: float = 600.0) -> None:
+_HEARTBEAT_S = 5.0  # builder re-touches its scratch file this often
+
+
+def _touch_periodically(path: str, stop) -> None:
+    """Builder heartbeat: bump ``path``'s mtime every ``_HEARTBEAT_S`` until
+    the ``stop`` event is set. File size is useless as a liveness signal —
+    ``np.lib.format.open_memmap`` preallocates the scratch file to its final
+    size at creation — and mmap writes don't reliably update mtime, so the
+    builder advertises liveness explicitly. If the builder process dies, the
+    heartbeats stop and peers' stall detection fires."""
+    while not stop.wait(_HEARTBEAT_S):
+        try:
+            os.utime(path)
+        except OSError:  # scratch already renamed/removed — builder finished
+            return
+
+
+def _wait_for_peer_cache(cache: str, grace_s: float = 15.0, stall_s: float = 180.0) -> None:
     """Non-primary processes: wait for another process's decode cache, but
-    only while one is observably being built. Returns (rather than raising)
-    as soon as waiting is pointless; the caller then builds locally.
+    only while one is observably alive. Returns (rather than raising) as soon
+    as waiting is pointless; the caller then builds locally.
 
     - shared dataset root: a builder's ``<cache>.tmp.<pid>`` scratch file is
-      visible and its size advances → keep waiting until ``os.replace``
-      installs the cache (or the builder stalls for ``stall_s``).
+      visible and its mtime advances (the builder heartbeats it every
+      ``_HEARTBEAT_S``; size can't advance — the memmap is preallocated) →
+      keep waiting until ``os.replace`` installs the cache (or the heartbeat
+      stops for ``stall_s``: builder died or wedged).
     - per-host dataset root: nothing ever appears → return after ``grace_s``
       so the peer decodes its own local copy instead of deadlocking."""
     import glob as _glob
@@ -78,20 +97,20 @@ def _wait_for_peer_cache(cache: str, grace_s: float = 15.0, stall_s: float = 600
 
     deadline_grace = time.monotonic() + grace_s
     last_progress = time.monotonic()
-    last_size = -1
+    last_mtime = -1.0
     while not os.path.exists(cache):
-        sizes = []
+        mtimes = []
         for p in _glob.glob(cache + ".tmp.*"):
             try:
-                sizes.append(os.path.getsize(p))
+                mtimes.append(os.path.getmtime(p))
             except OSError:  # builder just renamed/removed it
                 pass
-        if sizes:
-            if max(sizes) != last_size:
-                last_size = max(sizes)
+        if mtimes:
+            if max(mtimes) != last_mtime:
+                last_mtime = max(mtimes)
                 last_progress = time.monotonic()
             if time.monotonic() - last_progress > stall_s:
-                return  # builder died or wedged — build locally
+                return  # heartbeat stopped — builder died/wedged, build locally
         elif time.monotonic() > deadline_grace:
             return  # no builder visible — per-host root, build locally
         time.sleep(1.0)
@@ -108,25 +127,39 @@ def _build_memmap(cache: str, shape, fill) -> np.ndarray:
     truncate each other's live mapping (os.replace is atomic; last writer
     wins). Under jax.distributed, peers first wait for a visible builder's
     cache (shared dataset root: process 0's ``.tmp.<pid>`` scratch file is
-    observable and growing); when no builder is visible or it stalls — the
-    normal case when the dataset root is staged per host, where process 0's
-    files never appear on this host's disk — the peer decodes locally.
-    Duplicate builds are wasted work, never corruption."""
+    observable and heartbeating — see ``_touch_periodically``); when no
+    builder is visible or its heartbeat stops — the former is the normal
+    case when the dataset root is staged per host, where process 0's files
+    never appear on this host's disk — the peer decodes locally. Duplicate
+    builds are wasted work, never corruption."""
     if not os.path.exists(cache):
         import jax
 
         if jax.process_count() > 1 and jax.process_index() != 0:
             _wait_for_peer_cache(cache)
         if not os.path.exists(cache):
+            import threading
+
             tmp = f"{cache}.tmp.{os.getpid()}"
+            stop_heartbeat = threading.Event()
+            heartbeat = None
             try:
                 os.makedirs(os.path.dirname(cache), exist_ok=True)
                 out = np.lib.format.open_memmap(tmp, mode="w+", dtype=np.uint8, shape=shape)
+                # advertise liveness to peers polling on a shared root (the
+                # preallocated file's size never changes; mtime heartbeats do)
+                heartbeat = threading.Thread(
+                    target=_touch_periodically, args=(tmp, stop_heartbeat), daemon=True
+                )
+                heartbeat.start()
                 fill(out)
                 out.flush()
                 del out
                 os.replace(tmp, cache)
             finally:
+                stop_heartbeat.set()
+                if heartbeat is not None:
+                    heartbeat.join()
                 if os.path.exists(tmp):
                     os.remove(tmp)
     store = np.load(cache, mmap_mode="r")
@@ -338,9 +371,11 @@ class DatasetLoader:
         # filtering and FLEX subsetting never materialize a memmap-backed
         # store in RAM
         self._index = np.arange(len(self._store), dtype=np.int64)
+        self._index_is_identity = True
         if self.label_filter is not None:
             keep = np.isin(self._labels_store, self.label_filter)
             self._index = self._index[keep]
+            self._index_is_identity = bool(keep.all())
 
         self.trigger = self.target = self.mask = None
         self.clean_rate, self.poison_rate = 1.0, None
@@ -349,12 +384,18 @@ class DatasetLoader:
 
     @property
     def _images(self) -> np.ndarray:
-        """Materialized image view (small datasets / tests). Streaming access
-        should go through ``_store[self._index[...]]`` instead."""
-        if len(self._index) == len(self._store) and np.array_equal(
-            self._index, np.arange(len(self._store))
-        ):
+        """Materialized image view (small in-RAM datasets / tests only): a
+        read-only alias when the index is the identity, otherwise a COPY —
+        writes to a non-identity view are discarded. Streaming access must go
+        through ``_store[self._index[...]]``; a memmap-backed store with a
+        subsetted index refuses to materialize multi-GB in one gather."""
+        if self._index_is_identity:
             return self._store
+        if self.is_memmap_backed:
+            raise RuntimeError(
+                "_images would materialize a subsetted memmap-backed store in "
+                "RAM; stream batches via _store[self._index[...]] instead"
+            )
         return self._store[self._index]
 
     @property
@@ -425,6 +466,7 @@ class DatasetLoader:
             keep = perm[: clean_n + poison_n]
             is_clean_kept = np.concatenate([np.ones(clean_n, bool), np.zeros(poison_n, bool)])
             self._index = self._index[keep]  # indirection only — no materialization
+            self._index_is_identity = False  # keep is a permutation prefix, never identity-ordered
             is_clean = is_clean_kept
         else:
             raise NotImplementedError(f"Argument mode: {mode} isn't defined")

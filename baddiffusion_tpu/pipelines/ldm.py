@@ -26,8 +26,11 @@ from baddiffusion_tpu.pipelines.sampler import (
     cast_params,
     dtype_cache_key,
     ensure_on_device,
+    mesh_sample_shardings,
+    pad_batch_for_mesh,
     sample_loop,
     to_images,
+    trim_padded,
 )
 
 
@@ -82,19 +85,9 @@ class LDMPipeline:
 
         clip = 1.0 if self.clip_sample else None
 
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            jit_kw = {
-                "in_shardings": (
-                    NamedSharding(self.mesh, P()),        # unet params replicated
-                    NamedSharding(self.mesh, P()),        # vq params replicated
-                    NamedSharding(self.mesh, P("data")),  # latent batch over data
-                    NamedSharding(self.mesh, P()),        # key replicated
-                ),
-            }
-        else:
-            jit_kw = {}
+        jit_kw = {} if self.mesh is None else {
+            "in_shardings": mesh_sample_shardings(self.mesh, n_param_trees=2)
+        }
 
         @partial(jax.jit, **jit_kw)
         def run(unet_params, vq_params, init, key):
@@ -141,20 +134,12 @@ class LDMPipeline:
             batch_size = init.shape[0]
         # a sharded batch must divide the data axis: pad with copies of row 0
         # and trim after (same contract as DiffusionPipeline.__call__)
-        pad = 0
-        if self.mesh is not None:
-            data_size = self.mesh.shape["data"]
-            pad = (-batch_size) % data_size
-            if pad:
-                init = jnp.concatenate(
-                    [init, jnp.broadcast_to(init[:1], (pad,) + init.shape[1:])]
-                )
+        init, pad = pad_batch_for_mesh(init, self.mesh)
         run = self._sample_fn(batch_size + pad, n, capture_every)
         self.params = ensure_on_device(self.params, self.mesh)
         self.vqvae_params = ensure_on_device(self.vqvae_params, self.mesh)
         images, movie = run(self.params, self.vqvae_params, init, key)
-        images = np.asarray(images)[:batch_size]
-        movie = None if movie is None else np.asarray(movie)[:, :batch_size]
+        images, movie = trim_padded(images, movie, batch_size)
         return PipelineOutput(images=images, movie=movie)
 
     # -- serialization -----------------------------------------------------------

@@ -172,6 +172,38 @@ def cast_params(params, cast):
     )
 
 
+def mesh_sample_shardings(mesh, n_param_trees: int):
+    """``in_shardings`` for a jitted sampling fn taking ``n_param_trees``
+    replicated param pytrees, then a batch sharded over the data axis, then a
+    replicated PRNG key — the one mesh contract every pipeline shares."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return (rep,) * n_param_trees + (NamedSharding(mesh, P("data")), rep)
+
+
+def pad_batch_for_mesh(init, mesh):
+    """Pad ``init`` with copies of row 0 so its batch divides the mesh data
+    axis (constant-cost broadcast); returns ``(padded_init, pad)``. Callers
+    trim outputs back with ``trim_padded``."""
+    pad = 0
+    if mesh is not None:
+        pad = (-init.shape[0]) % mesh.shape["data"]
+        if pad:
+            init = jnp.concatenate([init, jnp.broadcast_to(init[:1], (pad,) + init.shape[1:])])
+    return init, pad
+
+
+def trim_padded(images, movie, batch_size: int):
+    """Drop mesh-padding rows and convert to host numpy (movie's batch is its
+    second axis: [frames, batch, ...])."""
+    import numpy as np
+
+    images = np.asarray(images)[:batch_size]
+    movie = None if movie is None else np.asarray(movie)[:, :batch_size]
+    return images, movie
+
+
 def ensure_on_device(params, mesh=None):
     """Upload a host-numpy param pytree once; device-resident trees pass
     through untouched (re-uploading ~450MB per sampling call dominates

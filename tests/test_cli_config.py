@@ -87,8 +87,42 @@ class TestSetup:
         t = {"now": 0.0}
         monkeypatch.setattr(_time, "monotonic", lambda: t.__setitem__("now", t["now"] + 200) or t["now"])
         monkeypatch.setattr(_time, "sleep", lambda s: None)
-        with pytest.raises(RuntimeError, match="never appeared"):
+        with pytest.raises(RuntimeError, match="never approved"):
             setup(train_args(tmp_path, ["--postfix", "mp2"]))
+
+    def test_stale_dir_does_not_fool_peer_with_kv_store(self, tmp_path, monkeypatch):
+        """A run dir left by a PRIOR run must not let a peer proceed while
+        process 0 is exiting with the overwrite ValueError: with a
+        jax.distributed coordination client, approval is a launch-scoped KV
+        key, not the dir's existence."""
+        import jax
+
+        from baddiffusion_tpu import config as cfgmod
+
+        class FakeKV:
+            def __init__(self):
+                self.store = {}
+
+            def key_value_set(self, k, v):
+                self.store[k] = v
+
+            def blocking_key_value_get(self, k, timeout_ms):
+                if k not in self.store:
+                    raise TimeoutError(f"no key {k}")
+                return self.store[k]
+
+        kv = FakeKV()
+        monkeypatch.setattr(cfgmod, "_distributed_kv_client", lambda: kv)
+
+        args = train_args(tmp_path, ["--postfix", "kv"])
+        setup(args)  # this launch's process 0: creates dir AND sets the key
+        assert any("run_dir_ready" in k for k in kv.store)
+
+        # a NEW launch (fresh coordinator → empty KV) onto the now-stale dir:
+        kv.store.clear()
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        with pytest.raises(RuntimeError, match="never approved"):
+            setup([a for a in args if a != "-o"])  # dir exists, but no approval
 
     def test_invalid_arg_for_mode(self, tmp_path):
         config = setup(train_args(tmp_path, ["--postfix", "f"]))

@@ -61,6 +61,46 @@ class TestCLIEndToEnd:
             sc = json.load(f)
         assert any(k.startswith("FID_proxy") for k in sc)
 
+    def test_measure_reuse_decisions_snapshotted_before_sampling(self, tmp_path, monkeypatch):
+        """run_measure(resample=False): the skip-if-dir-exists decisions must
+        be snapshotted BEFORE any sampling starts — a racing peer creating the
+        dirs mid-run (simulated by the first fake sampling call) must not make
+        the second branch silently skip its shard."""
+        monkeypatch.chdir(tmp_path)
+        from baddiffusion_tpu import cli
+        from baddiffusion_tpu.config import setup
+
+        config = setup([
+            "--mode", "train+measure", "--dataset", "FAKE", "--batch", "64",
+            "--epoch", "1", "--fake_size", "128", "--poison_rate", "0.25",
+            "--trigger", "BOX_14", "--target", "CORNER",
+            "--measure_sample_n", "4", "--eval_max_batch", "4",
+            "--result", str(tmp_path), "-o",
+        ])
+        dsl = cli.get_data_loader(config)
+
+        calls = []
+
+        def fake_sampling_save(sample_n, pipeline, path, **kw):
+            calls.append(os.path.basename(path))
+            base = os.path.join(config.output_dir, "measure")
+            os.makedirs(os.path.join(base, "clean_noclip"), exist_ok=True)
+            os.makedirs(os.path.join(base, "backdoor_noclip"), exist_ok=True)
+
+        class FakePipe:
+            def sample_shape(self, n):
+                return (n, dsl.image_size, dsl.image_size, dsl.channel)
+
+        monkeypatch.setattr(cli, "load_pipeline_for_eval", lambda c: FakePipe())
+        monkeypatch.setattr(cli, "batch_sampling_save", fake_sampling_save)
+        monkeypatch.setattr(cli, "fid_fn", lambda paths: 1.0)
+        monkeypatch.setattr(cli, "load_image_dir", lambda p: np.zeros((4, 32, 32, 3), np.float32))
+        monkeypatch.setattr(cli, "mse_fn", lambda a, b: 0.0)
+        monkeypatch.setattr(cli, "ssim_fn", lambda a, b: 1.0)
+
+        cli.run_measure(config, dsl=dsl, resample=False)
+        assert calls == ["clean_noclip", "backdoor_noclip"]  # neither branch skipped
+
     @pytest.mark.slow
     def test_train_measure_sampling_roundtrip(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)  # measure/<DATASET> dump is cwd-relative

@@ -536,6 +536,31 @@ class TestStreamingStore:
         batch = next(mm.epoch_batches(0))
         assert batch["image_u8"].shape == (4, 16, 16, 1 if mm.channel == 1 else mm.channel)
 
+    def test_images_property_identity_alias_and_memmap_guard(self, tmp_path):
+        """_images is an alias (no copy) while the index is the identity, and
+        refuses to materialize a SUBSETTED memmap-backed store in RAM — the
+        exact multi-GB gather the _index indirection exists to avoid."""
+        import pytest
+
+        ram = DatasetLoader(DatasetLoader.FAKE, image_size=16, batch_size=8, fake_size=32)
+        assert ram._images is ram._store  # identity → alias, not an O(n) copy
+
+        mm = DatasetLoader(
+            DatasetLoader.FAKE, image_size=16, batch_size=4, fake_size=32,
+            root=str(tmp_path), max_ram_bytes=1,
+        )
+        assert mm._images is mm._store  # identity index: alias is safe
+        mm.set_poison("BOX_8", "CORNER", clean_rate=0.5, poison_rate=0.25)
+        mm.prepare_dataset(mode=DatasetLoader.MODE_FLEX)  # subsets _index
+        with pytest.raises(RuntimeError, match="materialize"):
+            _ = mm._images
+
+        # in-RAM subsetted store still materializes (small datasets / tests)
+        ram2 = DatasetLoader(DatasetLoader.FAKE, image_size=16, batch_size=4, fake_size=32)
+        ram2.set_poison("BOX_8", "CORNER", clean_rate=0.5, poison_rate=0.25)
+        ram2.prepare_dataset(mode=DatasetLoader.MODE_FLEX)
+        assert ram2._images.shape[0] == len(ram2)
+
     def test_env_override_forces_mmap(self, tmp_path, monkeypatch):
         monkeypatch.setenv("BADDIFF_MAX_RAM_BYTES", "1")
         mm = DatasetLoader(
@@ -602,8 +627,9 @@ class TestStreamingStore:
 
     def test_peer_wait_picks_up_shared_build(self, tmp_path):
         """Shared dataset roots: while a builder's scratch file is visible and
-        growing, the peer keeps waiting and adopts the installed cache instead
-        of decoding a duplicate."""
+        heartbeating (mtime advances — size CANNOT advance: open_memmap
+        preallocates the file to its final size), the peer keeps waiting and
+        adopts the installed cache instead of decoding a duplicate."""
         import threading
         import time as _time
 
@@ -613,13 +639,13 @@ class TestStreamingStore:
         cache = str(tmp_path / ".decoded" / "y.npy")
         scratch = cache + ".tmp.999"
 
-        with open(scratch, "wb") as f:  # builder visible BEFORE the peer polls
-            f.write(b"x")
+        # preallocated scratch, CONSTANT size — exactly like open_memmap
+        with open(scratch, "wb") as f:
+            f.write(b"\0" * 4096)
 
         def builder():
             _time.sleep(1.5)
-            with open(scratch, "ab") as f:  # still growing
-                f.write(b"y")
+            os.utime(scratch)  # heartbeat: mtime advances, size doesn't
             np.save(open(cache + ".part", "wb"), np.zeros((2, 2), np.uint8))
             os.replace(cache + ".part", cache)
             os.remove(scratch)
@@ -632,6 +658,30 @@ class TestStreamingStore:
         assert os.path.exists(cache)
         # it genuinely waited past the grace window for the visible builder
         assert _time.monotonic() - t0 > 1.0
+
+    def test_builder_heartbeats_preallocated_scratch(self, tmp_path, monkeypatch):
+        """The builder must advertise liveness via mtime heartbeats on its
+        preallocated (constant-size) scratch file; without them a peer's
+        stall detection would declare the builder dead mid-decode and kick
+        off an N-fold duplicate build."""
+        import time as _time
+
+        import baddiffusion_tpu.data.datasets as dsmod
+
+        monkeypatch.setattr(dsmod, "_HEARTBEAT_S", 0.05)
+        cache = str(tmp_path / ".decoded" / "hb.npy")
+        seen = {}
+
+        def fill(out):
+            tmp = cache + f".tmp.{os.getpid()}"
+            assert os.path.getsize(tmp) >= out.nbytes  # preallocated to final size
+            m0 = os.path.getmtime(tmp)
+            _time.sleep(0.5)  # several heartbeat periods
+            seen["mtime_advanced"] = os.path.getmtime(tmp) > m0
+            out[:] = 1
+
+        dsmod._build_memmap(cache, (4, 2, 2, 1), fill)
+        assert seen["mtime_advanced"]
 
     def test_restaged_dataset_invalidates_decode_cache(self, tmp_path):
         """Restaging a same-count dataset with different pixels must NOT be
