@@ -233,7 +233,13 @@ def _signal_run_dir_ready(output_dir: str) -> None:
     """Process 0: tell peers THIS launch created/approved the run dir."""
     client = _distributed_kv_client()
     if client is not None:
-        client.key_value_set(_run_dir_key(output_dir), "ok")
+        try:
+            client.key_value_set(_run_dir_key(output_dir), "ok")
+        except Exception:
+            # the coordination service rejects double-sets (ALREADY_EXISTS);
+            # a second setup() for the same run dir in one coordinator
+            # session is still an approval, not an error
+            pass
 
 
 def _wait_run_dir_ready(output_dir: str, timeout_s: float = 300.0) -> None:
