@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from baddiffusion_tpu.utils.image import load_image_dir
 from baddiffusion_tpu.utils.logging import Log
 
 FID_WEIGHTS_ENV = "BADDIFFUSION_FID_WEIGHTS"
@@ -119,16 +118,31 @@ def get_activations(
     batch_size: int = 256,
     resize_to: Optional[int] = None,
 ) -> np.ndarray:
-    """[N, D] activations for a directory of images or an NHWC [0,1] array."""
+    """[N, D] activations for a directory of images or an NHWC [0,1] array.
+
+    Directory inputs decode ONE batch at a time (the reference streams via a
+    DataLoader, fid_score.py:91-147): host RAM stays ~batch_size images
+    regardless of directory size, instead of materializing e.g. a 50k-image
+    FID set (~39 GB at 256px f32) up front."""
     if extractor is None:
         extractor, _ = default_extractor()
+
     if isinstance(images_or_path, str):
-        images = load_image_dir(images_or_path, size=resize_to)
+        from baddiffusion_tpu.utils.image import list_image_files, load_image_files
+
+        files = list_image_files(images_or_path)
+        if not files:
+            raise FileNotFoundError(f"no images found under {images_or_path}")
+        n = len(files)
+        get_chunk = lambda i: load_image_files(files[i : i + batch_size], size=resize_to)
     else:
         images = np.asarray(images_or_path)
+        n = len(images)
+        get_chunk = lambda i: images[i : i + batch_size]
+
     outs = []
-    for i in range(0, len(images), batch_size):
-        chunk = images[i : i + batch_size]
+    for i in range(0, n, batch_size):
+        chunk = get_chunk(i)
         pad = 0
         if len(chunk) < batch_size and i > 0:
             pad = batch_size - len(chunk)  # keep shapes static for the jit

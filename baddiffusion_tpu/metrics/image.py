@@ -30,7 +30,7 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return np.outer(g, g).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("kernel_size", "data_range"))
+@partial(jax.jit, static_argnames=("kernel_size", "data_range", "sigma"))
 def ssim(
     a: jnp.ndarray,
     b: jnp.ndarray,

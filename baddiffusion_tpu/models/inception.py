@@ -180,7 +180,11 @@ class FIDInceptionV3(nn.Module):
         if x.shape[-1] == 1:
             x = jnp.tile(x, (1, 1, 1, 3))
         if self.resize_input and (x.shape[1] != 299 or x.shape[2] != 299):
-            x = jax.image.resize(x, (x.shape[0], 299, 299, 3), method="bilinear")
+            # antialias=False matches pytorch-fid's F.interpolate(bilinear,
+            # align_corners=False) when DOWNSAMPLING >299px inputs (jax's
+            # default antialiased triangle kernel would diverge from it);
+            # for upsampling (32/256px datasets) the flag is a no-op
+            x = jax.image.resize(x, (x.shape[0], 299, 299, 3), method="bilinear", antialias=False)
         if self.normalize_input:
             x = 2.0 * x - 1.0
         x = x.astype(self.dtype)

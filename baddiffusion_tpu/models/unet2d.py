@@ -304,10 +304,18 @@ class UNet2DModel(nn.Module):
 
     # -- convenience -----------------------------------------------------------
     def init_params(self, key: jax.Array, sample_size: Optional[int] = None):
-        size = sample_size or self.config.sample_size or 32
-        dummy = jnp.zeros((1, size, size, self.config.in_channels), jnp.float32)
+        cfg = self.config
+        size = sample_size or cfg.sample_size or 32
+        dummy = jnp.zeros((1, size, size, cfg.in_channels), jnp.float32)
         t = jnp.zeros((1,), jnp.int32)
-        labels = jnp.zeros((1,), jnp.int32) if self.config.num_class_embeds else None
+        if cfg.class_embed_type == "identity":
+            # identity embeddings are added to emb directly, so the dummy
+            # labels must already be time_embed_dim-sized
+            labels = jnp.zeros((1, cfg.block_out_channels[0] * 4), jnp.float32)
+        elif cfg.class_embed_type == "timestep" or cfg.num_class_embeds:
+            labels = jnp.zeros((1,), jnp.int32)
+        else:
+            labels = None
         if labels is not None:
             return self.init(key, dummy, t, labels)["params"]
         return self.init(key, dummy, t)["params"]

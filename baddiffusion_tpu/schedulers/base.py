@@ -146,6 +146,112 @@ def get_velocity_common(alphas_cumprod: jnp.ndarray, sample: jnp.ndarray, noise:
     return sqrt_acp * noise - sqrt_omacp * sample
 
 
+def multistep_state_init(state_cls, config):
+    """The multistep solver family's common state construction (DPM-Solver /
+    UniPC / DEIS all precompute the same α_t=√ᾱ, σ_t=√(1−ᾱ), λ_t=logα−logσ
+    tables — reference scheduling_dpmsolver_multistep.py:141-168 et al.).
+    ``state_cls`` supplies any extra fields via their defaults."""
+    schedule = DiffusionSchedule.create(config)
+    acp = schedule.alphas_cumprod
+    alpha_t = jnp.sqrt(acp)
+    sigma_t = jnp.sqrt(1.0 - acp)
+    T = config.num_train_timesteps
+    return state_cls(
+        schedule=schedule,
+        alpha_t=alpha_t,
+        sigma_t=sigma_t,
+        lambda_t=jnp.log(alpha_t) - jnp.log(sigma_t),
+        timesteps=jnp.asarray(np.arange(T)[::-1].copy().astype(np.int32)),
+        num_inference_steps=T,
+    )
+
+
+def multistep_solver_step(solver, state, model_output, step_index, sample):
+    """The ring-buffer + warm-up + order-selection scaffolding shared
+    verbatim by DPM-Solver and DEIS (reference
+    scheduling_dpmsolver_multistep.py:507-573 / scheduling_deis_multistep.py:432-500):
+    push the converted model output into the ring, pick the update order
+    branchlessly (warm-up counter caps it; ``lower_order_final`` forces the
+    tail), and blend the statically-computed order-k updates with
+    ``jnp.where`` so the whole chain stays one `lax.scan` body.
+
+    ``solver`` supplies ``convert_model_output`` and
+    ``_first_order/_second_order/_third_order``."""
+    cfg = solver.config
+    if state.model_outputs is None:
+        state = solver.begin_sampling(state, sample)
+    n = state.timesteps.shape[0]
+    i = step_index
+    t = state.timesteps[i]
+    prev_t = jnp.where(i == n - 1, 0, state.timesteps[jnp.clip(i + 1, 0, n - 1)])
+    t_s1 = state.timesteps[jnp.clip(i - 1, 0)]
+    t_s2 = state.timesteps[jnp.clip(i - 2, 0)]
+
+    converted = solver.convert_model_output(state, model_output, t, sample)
+    ring = jnp.concatenate([state.model_outputs[1:], converted[None]], axis=0)
+    m0 = ring[-1]
+    m1 = ring[-2] if cfg.solver_order >= 2 else ring[-1]
+    m2 = ring[-3] if cfg.solver_order >= 3 else ring[-1]
+
+    lon = state.lower_order_nums
+    lof = cfg.lower_order_final and n < 15
+    use_first = (cfg.solver_order == 1) | (lon < 1)
+    use_second_cap = (cfg.solver_order == 2) | (lon < 2)
+    if lof:
+        use_first = use_first | (i == n - 1)
+        use_second_cap = use_second_cap | (i == n - 2)
+
+    x1 = solver._first_order(state, m0, t, prev_t, sample)
+    x2 = solver._second_order(state, m0, m1, t, t_s1, prev_t, sample) if cfg.solver_order >= 2 else x1
+    x3 = (
+        solver._third_order(state, m0, m1, m2, t, t_s1, t_s2, prev_t, sample)
+        if cfg.solver_order >= 3
+        else x2
+    )
+    prev_sample = jnp.where(use_first, x1, jnp.where(use_second_cap, x2, x3))
+
+    state = state.replace(
+        model_outputs=ring,
+        lower_order_nums=jnp.minimum(lon + 1, cfg.solver_order),
+    )
+    return state, prev_sample, converted
+
+
+def threshold_sample(sample: jnp.ndarray, ratio: float, max_value: float) -> jnp.ndarray:
+    """Imagen dynamic thresholding (reference scheduling_ddpm.py:290-322);
+    shared by DDPM, DDIM, and the multistep solver family."""
+    batch = sample.shape[0]
+    flat = jnp.abs(sample.reshape(batch, -1)).astype(jnp.float32)
+    s = jnp.quantile(flat, ratio, axis=1)
+    s = jnp.clip(s, 1.0, max_value).reshape((batch,) + (1,) * (sample.ndim - 1))
+    return (jnp.clip(sample, -s, s) / s).astype(sample.dtype)
+
+
+def convert_multistep_model_output(cfg, output_space: str, sample, model_output, alpha_prod_t):
+    """The solver family's shared model-output conversion
+    (scheduling_dpmsolver_multistep.py:267-314, unipc:243-290, deis:245-276):
+
+    - ``'x0'``: data-space prediction, dynamically thresholded when configured
+      (DPM-Solver++ / UniPC predict_x0)
+    - ``'epsilon'``: noise-space prediction, never thresholded (DPM-Solver /
+      UniPC with predict_x0=False)
+    - ``'x0_to_epsilon'``: threshold in data space, then convert back to noise
+      space (DEIS — its eps is of the THRESHOLDED x0, reference deis:272-276)
+
+    ``cfg`` needs prediction_type / thresholding / dynamic_thresholding_ratio /
+    sample_max_value — the fields all three solver configs share."""
+    x0, eps = pred_x0_from_model_output(cfg.prediction_type, sample, model_output, alpha_prod_t)
+    if output_space == "epsilon":
+        return eps
+    if cfg.thresholding:
+        x0 = threshold_sample(x0, cfg.dynamic_thresholding_ratio, cfg.sample_max_value)
+    if output_space == "x0":
+        return x0
+    if output_space != "x0_to_epsilon":
+        raise ValueError(f"unknown output_space {output_space!r}")
+    return (sample - alpha_prod_t**0.5 * x0) / (1.0 - alpha_prod_t) ** 0.5
+
+
 def pred_x0_from_model_output(
     prediction_type: str,
     sample: jnp.ndarray,
@@ -211,7 +317,14 @@ class ConfigurableScheduler:
             config = self.config_class(**kwargs)
         elif kwargs:
             config = dataclasses.replace(config, **kwargs)
-        self.config = config
+        self.config = self._normalize_config(config)
+
+    def _normalize_config(self, config):
+        """Subclass hook: coerce sibling-family config values / reject unknown
+        ones at construction (the reference validates in ``__init__`` too —
+        e.g. scheduling_unipc_multistep.py:169-173 — so a bad solver_type
+        fails loud instead of silently sampling with fallback math)."""
+        return config
 
     def __eq__(self, other):
         return type(self) is type(other) and self.config == other.config

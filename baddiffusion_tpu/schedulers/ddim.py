@@ -121,9 +121,9 @@ class DDIMScheduler(ConfigurableScheduler):
         )
 
         if cfg.thresholding:
-            from baddiffusion_tpu.schedulers.ddpm import _threshold_sample
+            from baddiffusion_tpu.schedulers.base import threshold_sample
 
-            pred_original_sample = _threshold_sample(
+            pred_original_sample = threshold_sample(
                 pred_original_sample, cfg.dynamic_thresholding_ratio, cfg.sample_max_value
             )
         elif cfg.clip_sample:

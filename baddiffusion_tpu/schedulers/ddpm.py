@@ -27,6 +27,7 @@ from baddiffusion_tpu.schedulers.base import (
     pred_x0_from_model_output,
     register_scheduler,
     spaced_timesteps,
+    threshold_sample,
 )
 
 
@@ -56,13 +57,8 @@ class DDPMState:
     num_inference_steps: int = struct.field(pytree_node=False, default=None)
 
 
-def _threshold_sample(sample: jnp.ndarray, ratio: float, max_value: float) -> jnp.ndarray:
-    """Imagen dynamic thresholding (reference scheduling_ddpm.py:290-322)."""
-    batch = sample.shape[0]
-    flat = jnp.abs(sample.reshape(batch, -1)).astype(jnp.float32)
-    s = jnp.quantile(flat, ratio, axis=1)
-    s = jnp.clip(s, 1.0, max_value).reshape((batch,) + (1,) * (sample.ndim - 1))
-    return (jnp.clip(sample, -s, s) / s).astype(sample.dtype)
+# the shared implementation lives with the other cross-scheduler step math
+_threshold_sample = threshold_sample  # historical import-path alias
 
 
 @register_scheduler("DDPMScheduler")
@@ -163,7 +159,7 @@ class DDPMScheduler(ConfigurableScheduler):
         )
 
         if cfg.thresholding:
-            pred_original_sample = _threshold_sample(
+            pred_original_sample = threshold_sample(
                 pred_original_sample, cfg.dynamic_thresholding_ratio, cfg.sample_max_value
             )
         elif cfg.clip_sample:

@@ -21,6 +21,9 @@ from baddiffusion_tpu.schedulers.base import (
     ConfigurableScheduler,
     DiffusionSchedule,
     add_noise_common,
+    convert_multistep_model_output,
+    multistep_solver_step,
+    multistep_state_init,
     register_scheduler,
     multistep_timesteps,
 )
@@ -61,20 +64,26 @@ class DEISMultistepScheduler(ConfigurableScheduler):
     init_noise_sigma = 1.0
     order = 1
 
+    def _normalize_config(self, config):
+        # reference coercion (scheduling_deis_multistep.py:154-165)
+        if config.algorithm_type != "deis":
+            if config.algorithm_type in ("dpmsolver", "dpmsolver++"):
+                config = dataclasses.replace(config, algorithm_type="deis")
+            else:
+                raise NotImplementedError(
+                    f"algorithm_type {config.algorithm_type!r} is not implemented for DEISMultistepScheduler"
+                )
+        if config.solver_type != "logrho":
+            if config.solver_type in ("midpoint", "heun", "bh1", "bh2"):
+                config = dataclasses.replace(config, solver_type="logrho")
+            else:
+                raise NotImplementedError(
+                    f"solver_type {config.solver_type!r} is not implemented for DEISMultistepScheduler"
+                )
+        return config
+
     def create_state(self) -> DEISState:
-        schedule = DiffusionSchedule.create(self.config)
-        acp = schedule.alphas_cumprod
-        alpha_t = jnp.sqrt(acp)
-        sigma_t = jnp.sqrt(1.0 - acp)
-        T = self.config.num_train_timesteps
-        return DEISState(
-            schedule=schedule,
-            alpha_t=alpha_t,
-            sigma_t=sigma_t,
-            lambda_t=jnp.log(alpha_t) - jnp.log(sigma_t),
-            timesteps=jnp.asarray(np.arange(T)[::-1].copy().astype(np.int32)),
-            num_inference_steps=T,
-        )
+        return multistep_state_init(DEISState, self.config)
 
     def set_timesteps(self, state: DEISState, num_inference_steps: int) -> DEISState:
         T = self.config.num_train_timesteps
@@ -91,22 +100,10 @@ class DEISMultistepScheduler(ConfigurableScheduler):
         return sample
 
     def convert_model_output(self, state: DEISState, model_output, t, sample):
-        cfg = self.config
-        alpha_t, sigma_t = state.alpha_t[t], state.sigma_t[t]
-        if cfg.prediction_type == "epsilon":
-            x0 = (sample - sigma_t * model_output) / alpha_t
-        elif cfg.prediction_type == "sample":
-            x0 = model_output
-        elif cfg.prediction_type == "v_prediction":
-            x0 = alpha_t * sample - sigma_t * model_output
-        else:
-            raise ValueError(cfg.prediction_type)
-        if cfg.thresholding:
-            from baddiffusion_tpu.schedulers.ddpm import _threshold_sample
-
-            x0 = _threshold_sample(x0, cfg.dynamic_thresholding_ratio, cfg.sample_max_value)
-        # DEIS-space epsilon (reference :272-276)
-        return (sample - alpha_t * x0) / sigma_t
+        # DEIS-space epsilon of the (thresholded) x0 (reference :272-276)
+        return convert_multistep_model_output(
+            self.config, "x0_to_epsilon", sample, model_output, state.schedule.alphas_cumprod[t]
+        )
 
     def _first_order(self, state, m0, t, prev_t, sample):
         lam_t, lam_s = state.lambda_t[prev_t], state.lambda_t[t]
@@ -159,44 +156,8 @@ class DEISMultistepScheduler(ConfigurableScheduler):
         sample: jnp.ndarray,
         key: Optional[jax.Array] = None,
     ) -> Tuple[DEISState, jnp.ndarray, jnp.ndarray]:
-        cfg = self.config
-        if state.model_outputs is None:
-            state = self.begin_sampling(state, sample)
-        n = state.timesteps.shape[0]
-        i = step_index
-        t = state.timesteps[i]
-        prev_t = jnp.where(i == n - 1, 0, state.timesteps[jnp.clip(i + 1, 0, n - 1)])
-        t_s1 = state.timesteps[jnp.clip(i - 1, 0)]
-        t_s2 = state.timesteps[jnp.clip(i - 2, 0)]
-
-        converted = self.convert_model_output(state, model_output, t, sample)
-        ring = jnp.concatenate([state.model_outputs[1:], converted[None]], axis=0)
-        m0 = ring[-1]
-        m1 = ring[-2] if cfg.solver_order >= 2 else ring[-1]
-        m2 = ring[-3] if cfg.solver_order >= 3 else ring[-1]
-
-        lon = state.lower_order_nums
-        lof = cfg.lower_order_final and n < 15
-        use_first = (cfg.solver_order == 1) | (lon < 1)
-        use_second_cap = (cfg.solver_order == 2) | (lon < 2)
-        if lof:
-            use_first = use_first | (i == n - 1)
-            use_second_cap = use_second_cap | (i == n - 2)
-
-        x1 = self._first_order(state, m0, t, prev_t, sample)
-        x2 = self._second_order(state, m0, m1, t, t_s1, prev_t, sample) if cfg.solver_order >= 2 else x1
-        x3 = (
-            self._third_order(state, m0, m1, m2, t, t_s1, t_s2, prev_t, sample)
-            if cfg.solver_order >= 3
-            else x2
-        )
-        prev_sample = jnp.where(use_first, x1, jnp.where(use_second_cap, x2, x3))
-
-        state = state.replace(
-            model_outputs=ring,
-            lower_order_nums=jnp.minimum(lon + 1, cfg.solver_order),
-        )
-        return state, prev_sample, converted
+        # warm-up/ring/order scaffolding shared with DPM-Solver (base.py)
+        return multistep_solver_step(self, state, model_output, step_index, sample)
 
     def add_noise(self, state: DEISState, original, noise, timesteps):
         return add_noise_common(state.schedule.alphas_cumprod, original, noise, timesteps)

@@ -26,6 +26,9 @@ from baddiffusion_tpu.schedulers.base import (
     ConfigurableScheduler,
     DiffusionSchedule,
     add_noise_common,
+    convert_multistep_model_output,
+    multistep_solver_step,
+    multistep_state_init,
     register_scheduler,
     multistep_timesteps,
 )
@@ -90,20 +93,28 @@ class DPMSolverMultistepScheduler(ConfigurableScheduler):
     init_noise_sigma = 1.0
     order = 1
 
+    def _normalize_config(self, config):
+        # reference coercion (scheduling_dpmsolver_multistep.py:170-180):
+        # sibling-family values map to this family's defaults, unknown ones
+        # are rejected loudly instead of silently sampling with fallback math
+        if config.algorithm_type not in ("dpmsolver", "dpmsolver++"):
+            if config.algorithm_type == "deis":
+                config = dataclasses.replace(config, algorithm_type="dpmsolver++")
+            else:
+                raise NotImplementedError(
+                    f"algorithm_type {config.algorithm_type!r} is not implemented for DPMSolverMultistepScheduler"
+                )
+        if config.solver_type not in ("midpoint", "heun"):
+            if config.solver_type in ("logrho", "bh1", "bh2"):
+                config = dataclasses.replace(config, solver_type="midpoint")
+            else:
+                raise NotImplementedError(
+                    f"solver_type {config.solver_type!r} is not implemented for DPMSolverMultistepScheduler"
+                )
+        return config
+
     def create_state(self) -> DPMSolverState:
-        schedule = DiffusionSchedule.create(self.config)
-        acp = schedule.alphas_cumprod
-        alpha_t = jnp.sqrt(acp)
-        sigma_t = jnp.sqrt(1.0 - acp)
-        T = self.config.num_train_timesteps
-        return DPMSolverState(
-            schedule=schedule,
-            alpha_t=alpha_t,
-            sigma_t=sigma_t,
-            lambda_t=jnp.log(alpha_t) - jnp.log(sigma_t),
-            timesteps=jnp.asarray(np.arange(T)[::-1].copy().astype(np.int32)),
-            num_inference_steps=T,
-        )
+        return multistep_state_init(DPMSolverState, self.config)
 
     def set_timesteps(self, state: DPMSolverState, num_inference_steps: int) -> DPMSolverState:
         T = self.config.num_train_timesteps
@@ -128,28 +139,10 @@ class DPMSolverMultistepScheduler(ConfigurableScheduler):
     # -- model output conversion (scheduling_dpmsolver_multistep.py:300-360) ----
     def convert_model_output(self, state: DPMSolverState, model_output, t, sample):
         cfg = self.config
-        alpha_t, sigma_t = state.alpha_t[t], state.sigma_t[t]
-        if cfg.algorithm_type == "dpmsolver++":
-            if cfg.prediction_type == "epsilon":
-                x0 = (sample - sigma_t * model_output) / alpha_t
-            elif cfg.prediction_type == "sample":
-                x0 = model_output
-            elif cfg.prediction_type == "v_prediction":
-                x0 = alpha_t * sample - sigma_t * model_output
-            else:
-                raise ValueError(cfg.prediction_type)
-            if cfg.thresholding:
-                from baddiffusion_tpu.schedulers.ddpm import _threshold_sample
-
-                x0 = _threshold_sample(x0, cfg.dynamic_thresholding_ratio, cfg.sample_max_value)
-            return x0
-        if cfg.prediction_type == "epsilon":
-            return model_output
-        if cfg.prediction_type == "sample":
-            return (sample - alpha_t * model_output) / sigma_t
-        if cfg.prediction_type == "v_prediction":
-            return alpha_t * model_output + sigma_t * sample
-        raise ValueError(cfg.prediction_type)
+        space = "x0" if cfg.algorithm_type == "dpmsolver++" else "epsilon"
+        return convert_multistep_model_output(
+            cfg, space, sample, model_output, state.schedule.alphas_cumprod[t]
+        )
 
     # -- order updates (scheduling_dpmsolver_multistep.py:363-505) -------------
     def _first_order(self, state, m0, t, prev_t, sample):
@@ -211,46 +204,8 @@ class DPMSolverMultistepScheduler(ConfigurableScheduler):
         sample: jnp.ndarray,
         key: Optional[jax.Array] = None,
     ) -> Tuple[DPMSolverState, jnp.ndarray, jnp.ndarray]:
-        cfg = self.config
-        if state.model_outputs is None:
-            state = self.begin_sampling(state, sample)
-        n = state.timesteps.shape[0]
-        i = step_index
-        t = state.timesteps[i]
-        prev_t = jnp.where(i == n - 1, 0, state.timesteps[jnp.clip(i + 1, 0, n - 1)])
-        t_s1 = state.timesteps[jnp.clip(i - 1, 0)]
-        t_s2 = state.timesteps[jnp.clip(i - 2, 0)]
-
-        converted = self.convert_model_output(state, model_output, t, sample)
-        ring = jnp.concatenate([state.model_outputs[1:], converted[None]], axis=0)
-        m0 = ring[-1]
-        m1 = ring[-2] if cfg.solver_order >= 2 else ring[-1]
-        m2 = ring[-3] if cfg.solver_order >= 3 else ring[-1]
-
-        lon = state.lower_order_nums
-        lof = cfg.lower_order_final and n < 15
-        use_first = (cfg.solver_order == 1) | (lon < 1)
-        use_second_cap = (cfg.solver_order == 2) | (lon < 2)
-        if lof:
-            use_first = use_first | (i == n - 1)
-            use_second_cap = use_second_cap | (i == n - 2)
-
-        x1 = self._first_order(state, m0, t, prev_t, sample)
-        if cfg.solver_order >= 2:
-            x2 = self._second_order(state, m0, m1, t, t_s1, prev_t, sample)
-        else:
-            x2 = x1
-        if cfg.solver_order >= 3:
-            x3 = self._third_order(state, m0, m1, m2, t, t_s1, t_s2, prev_t, sample)
-        else:
-            x3 = x2
-        prev_sample = jnp.where(use_first, x1, jnp.where(use_second_cap, x2, x3))
-
-        state = state.replace(
-            model_outputs=ring,
-            lower_order_nums=jnp.minimum(lon + 1, cfg.solver_order),
-        )
-        return state, prev_sample, converted
+        # warm-up/ring/order scaffolding shared with DEIS (base.py)
+        return multistep_solver_step(self, state, model_output, step_index, sample)
 
     def add_noise(self, state: DPMSolverState, original, noise, timesteps):
         return add_noise_common(state.schedule.alphas_cumprod, original, noise, timesteps)

@@ -26,6 +26,9 @@ from baddiffusion_tpu.schedulers.base import (
     ConfigurableScheduler,
     DiffusionSchedule,
     add_noise_common,
+    convert_multistep_model_output,
+    multistep_solver_step,
+    multistep_state_init,
     register_scheduler,
     multistep_timesteps,
 )
@@ -70,6 +73,17 @@ class UniPCMultistepScheduler(ConfigurableScheduler):
     init_noise_sigma = 1.0
     order = 1
 
+    def _normalize_config(self, config):
+        # reference coercion (scheduling_unipc_multistep.py:169-173): sibling
+        # solver families map to bh1, anything else is rejected loudly
+        if config.solver_type not in ("bh1", "bh2"):
+            if config.solver_type in ("midpoint", "heun", "logrho"):
+                return dataclasses.replace(config, solver_type="bh1")
+            raise NotImplementedError(
+                f"solver_type {config.solver_type!r} is not implemented for UniPCMultistepScheduler"
+            )
+        return config
+
     def create_state(self) -> UniPCState:
         schedule = DiffusionSchedule.create(self.config)
         acp = schedule.alphas_cumprod
@@ -105,28 +119,10 @@ class UniPCMultistepScheduler(ConfigurableScheduler):
 
     def convert_model_output(self, state: UniPCState, model_output, t, sample):
         cfg = self.config
-        alpha_t, sigma_t = state.alpha_t[t], state.sigma_t[t]
-        if cfg.predict_x0:
-            if cfg.prediction_type == "epsilon":
-                x0 = (sample - sigma_t * model_output) / alpha_t
-            elif cfg.prediction_type == "sample":
-                x0 = model_output
-            elif cfg.prediction_type == "v_prediction":
-                x0 = alpha_t * sample - sigma_t * model_output
-            else:
-                raise ValueError(cfg.prediction_type)
-            if cfg.thresholding:
-                from baddiffusion_tpu.schedulers.ddpm import _threshold_sample
-
-                x0 = _threshold_sample(x0, cfg.dynamic_thresholding_ratio, cfg.sample_max_value)
-            return x0
-        if cfg.prediction_type == "epsilon":
-            return model_output
-        if cfg.prediction_type == "sample":
-            return (sample - alpha_t * model_output) / sigma_t
-        if cfg.prediction_type == "v_prediction":
-            return alpha_t * model_output + sigma_t * sample
-        raise ValueError(cfg.prediction_type)
+        space = "x0" if cfg.predict_x0 else "epsilon"
+        return convert_multistep_model_output(
+            cfg, space, sample, model_output, state.schedule.alphas_cumprod[t]
+        )
 
     def _coeffs(self, state: UniPCState, ring_t, t_target, order: int):
         """Shared R/b/B_h machinery of UniP and UniC for static ``order``."""

@@ -119,7 +119,13 @@ def load_image_dir(path: str, size: int = None) -> np.ndarray:
     files = list_image_files(path)
     if not files:
         raise FileNotFoundError(f"no images found under {path}")
+    return load_image_files(files, size=size)
 
+
+def load_image_files(files, size: int = None) -> np.ndarray:
+    """Decode an explicit file list into one [0,1] float NHWC array — the
+    batchable unit under ``load_image_dir``, used by streaming consumers
+    (e.g. FID activations) that must not materialize a whole directory."""
     if size is None and all(f.endswith(".png") for f in files):
         try:
             from baddiffusion_tpu.native.pngio import decode_png_batch, png_header

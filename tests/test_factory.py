@@ -68,3 +68,39 @@ def test_solver_pipeline_gets_per_step_clip():
 def test_missing_checkpoint_clear_error():
     with pytest.raises(FileNotFoundError, match="network egress"):
         factory.resolve_checkpoint_path("DDPM-CIFAR10-32")
+
+
+class TestSolverConfigValidation:
+    """Constructor-time coercion/rejection of sibling-family solver configs —
+    reference behavior (scheduling_{unipc,dpmsolver,deis}_multistep.py
+    __init__ validation): known sibling values coerce, unknown fail loud
+    instead of silently sampling with fallback math."""
+
+    def test_unipc_rejects_unknown_solver_type(self):
+        from baddiffusion_tpu.schedulers import UniPCConfig, UniPCMultistepScheduler
+
+        with pytest.raises(NotImplementedError, match="solver_type"):
+            UniPCMultistepScheduler(UniPCConfig(solver_type="nope"))
+        # sibling-family value coerces like the reference (bh1)
+        s = UniPCMultistepScheduler(UniPCConfig(solver_type="midpoint"))
+        assert s.config.solver_type == "bh1"
+
+    def test_dpmsolver_coerces_and_rejects(self):
+        from baddiffusion_tpu.schedulers import DPMSolverConfig, DPMSolverMultistepScheduler
+
+        s = DPMSolverMultistepScheduler(DPMSolverConfig(algorithm_type="deis", solver_type="bh2"))
+        assert s.config.algorithm_type == "dpmsolver++"
+        assert s.config.solver_type == "midpoint"
+        with pytest.raises(NotImplementedError, match="algorithm_type"):
+            DPMSolverMultistepScheduler(DPMSolverConfig(algorithm_type="nope"))
+        with pytest.raises(NotImplementedError, match="solver_type"):
+            DPMSolverMultistepScheduler(DPMSolverConfig(solver_type="nope"))
+
+    def test_deis_coerces_and_rejects(self):
+        from baddiffusion_tpu.schedulers import DEISConfig, DEISMultistepScheduler
+
+        s = DEISMultistepScheduler(DEISConfig(algorithm_type="dpmsolver++", solver_type="heun"))
+        assert s.config.algorithm_type == "deis"
+        assert s.config.solver_type == "logrho"
+        with pytest.raises(NotImplementedError, match="algorithm_type"):
+            DEISMultistepScheduler(DEISConfig(algorithm_type="nope"))

@@ -71,6 +71,46 @@ class TestFID:
         d_diff = fid([str(tmp_path / "a"), str(tmp_path / "b")], batch_size=16)
         assert d_diff > d_same
 
+    def test_dir_activations_stream_batches_and_match_array(self, tmp_path):
+        """Directory inputs must decode per batch (bounded RAM — the
+        reference streams via a DataLoader, fid_score.py:91-147) and yield
+        the SAME activations as the fully-materialized array path."""
+        from baddiffusion_tpu.utils import image as img_mod
+        from baddiffusion_tpu.utils.image import save_images
+
+        rng = np.random.RandomState(2)
+        imgs = rng.rand(10, 16, 16, 3).astype(np.float32)
+        save_images(imgs, str(tmp_path / "d"))
+
+        calls = []
+        orig = img_mod.load_image_files
+
+        def spy(files, size=None):
+            calls.append(len(files))
+            return orig(files, size=size)
+
+        import unittest.mock as mock
+
+        with mock.patch.object(img_mod, "load_image_files", spy):
+            from_dir = get_activations(str(tmp_path / "d"), batch_size=4)
+        # streamed in ≤batch_size chunks, never the whole dir at once
+        assert calls == [4, 4, 2]
+        # PNG round-trip quantizes to uint8 — compare against the same bytes
+        from baddiffusion_tpu.utils.image import load_image_dir
+
+        from_array = get_activations(load_image_dir(str(tmp_path / "d")), batch_size=10)
+        np.testing.assert_allclose(from_dir, from_array, atol=1e-5)
+
+    def test_ssim_custom_sigma(self):
+        """sigma is host-side kernel construction → must be a static jit arg
+        (a traced sigma crashes with TracerArrayConversionError)."""
+        from baddiffusion_tpu.metrics import ssim
+
+        rng = np.random.RandomState(3)
+        a = rng.rand(2, 16, 16, 3).astype(np.float32)
+        s = float(ssim(a, np.clip(a + 0.1, 0, 1), sigma=2.0))
+        assert 0.0 < s < 1.0
+
     def test_proxy_extractor_deterministic(self):
         rng = np.random.RandomState(1)
         imgs = rng.rand(4, 16, 16, 3).astype(np.float32)

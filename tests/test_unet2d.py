@@ -97,6 +97,26 @@ class TestShapes:
         assert y.dtype == jnp.float32  # output cast back
         assert np.isfinite(np.asarray(y)).all()
 
+    def test_class_embed_type_init_and_forward(self):
+        """init_params must build suitable dummy labels for every
+        class-conditioning flavor (num_class_embeds table, 'timestep'
+        sinusoidal, 'identity' pass-through) — not just the table one."""
+        import dataclasses
+
+        for kw, labels in [
+            ({"num_class_embeds": 7}, jnp.asarray([1, 2])),
+            ({"class_embed_type": "timestep"}, jnp.asarray([1, 2])),
+            ({"class_embed_type": "identity"},
+             jnp.zeros((2, TINY.block_out_channels[0] * 4), jnp.float32)),
+        ]:
+            cfg = dataclasses.replace(TINY, **kw)
+            model = UNet2DModel(cfg)
+            params = model.init_params(jax.random.PRNGKey(0))  # used to crash
+            x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+            y = model.apply({"params": params}, x, jnp.asarray([0, 999]), labels)
+            assert y.shape == (2, 16, 16, 3)
+            assert np.isfinite(np.asarray(y)).all()
+
     def test_config_json_roundtrip(self, tmp_path):
         TINY_DDPM.save(str(tmp_path))
         loaded = UNet2DConfig.load(str(tmp_path))
