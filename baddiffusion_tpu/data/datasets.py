@@ -440,6 +440,10 @@ class DatasetLoader:
             run is impossible in principle; this option matches what the
             reference WOULD produce if seeded.
         """
+        if self.poison_rate is None:
+            # guard EVERY path (FLEX and the hf split consume the rates too)
+            # before they hit float(None) with a raw TypeError
+            raise ValueError("call set_poison before prepare_dataset")
         n = len(self._index)
         if split_method == "hf":
             perm = self._hf_split_permutation(n, mode)
@@ -449,8 +453,6 @@ class DatasetLoader:
         else:
             raise ValueError(f"unknown split_method {split_method!r}")
         if mode == self.MODE_FIXED:
-            if self.poison_rate is None:
-                raise ValueError("call set_poison before prepare_dataset")
             if not 0.0 <= float(self.poison_rate) <= 1.0:
                 raise ValueError("In FIXED mode, poison rate should be within [0, 1]")
             if self.clean_rate != 1.0:

@@ -122,11 +122,16 @@ bool decode_one(const char* path, uint8_t* out, int oh, int ow, int oc) {
   int w = 0, h = 0, channels = 0, bit_depth = 0, interlace = 0;
   std::vector<uint8_t> idat;
   size_t pos = 8;
-  while (pos + 8 <= (size_t)sz) {
+  while (pos + 12 <= (size_t)sz) {
     uint32_t len = get_be32(&buf[pos]);
+    // a truncated/corrupt file can declare any 32-bit length — the chunk
+    // payload + CRC must actually fit in the buffer before data is touched,
+    // or idat.insert reads past the heap allocation
+    if (len > (size_t)sz - pos - 12) return false;
     const char* type = (const char*)&buf[pos + 4];
     const uint8_t* data = &buf[pos + 8];
     if (!memcmp(type, "IHDR", 4)) {
+      if (len < 13) return false;
       w = get_be32(data);
       h = get_be32(data + 4);
       bit_depth = data[8];
@@ -141,12 +146,13 @@ bool decode_one(const char* path, uint8_t* out, int oh, int ow, int oc) {
     }
     pos += 12 + len;
   }
-  if (w != ow || h != oh || w <= 0) return false;
+  if (w != ow || h != oh || w <= 0 || h <= 0 || channels <= 0) return false;
 
   const size_t stride = (size_t)w * channels;
   std::vector<uint8_t> raw((stride + 1) * h);
   uLongf rawlen = raw.size();
   if (uncompress(raw.data(), &rawlen, idat.data(), idat.size()) != Z_OK) return false;
+  if (rawlen != raw.size()) return false;  // short stream = truncated image data
 
   std::vector<uint8_t> prev(stride, 0), cur(stride);
   for (int y = 0; y < h; y++) {

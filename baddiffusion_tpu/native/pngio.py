@@ -28,11 +28,21 @@ def _load():
         return _lib
     try:
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", _SRC, "-o", _LIB, "-lz"],
-                check=True,
-                capture_output=True,
-            )
+            # compile to a pid-unique temp and os.replace into place:
+            # concurrent processes racing the first-use build must never
+            # CDLL a half-written .so (which would poison _load_failed for
+            # the whole process and silently fall back to PIL)
+            tmp = f"{_LIB}.tmp.{os.getpid()}"
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", _SRC, "-o", tmp, "-lz"],
+                    check=True,
+                    capture_output=True,
+                )
+                os.replace(tmp, _LIB)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
         lib = ctypes.CDLL(_LIB)
         lib.encode_png_batch.restype = ctypes.c_int
         lib.encode_png_batch.argtypes = [

@@ -59,6 +59,11 @@ class LDMPipeline:
         return latents * scaling_factor if scaling_factor is not None else latents
 
     def decode(self, latents: jnp.ndarray, scaling_factor: Optional[float] = None) -> jnp.ndarray:
+        # NOTE reference quirk, preserved bit-for-bit: the reference divides
+        # the decoded IMAGE by scaling_factor — not the latents before decode
+        # (pipeline_latent_diffusion_uncond.py:54-62, `vae.decode(x).sample /
+        # scaling_factor`). Round-tripping encode(sf)→decode(sf) therefore
+        # does NOT invert; no reference caller ever passes scaling_factor.
         img = self.vqvae.apply({"params": self.vqvae_params}, latents, method=self.vqvae.decode)
         return img / scaling_factor if scaling_factor is not None else img
 

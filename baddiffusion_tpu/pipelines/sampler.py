@@ -68,16 +68,20 @@ def sample_loop(
 
     if capture_every:
         # strided trajectory capture with a bounded carried buffer: one frame
-        # per `capture_every` steps, so T=1000 costs n_frames·batch, not T·batch
+        # per `capture_every` steps, so T=1000 costs n_frames·batch, not T·batch.
+        # The final step ALWAYS lands in the last slot (overwriting that slot's
+        # strided frame when n_steps-1 isn't a stride multiple) so movie[-1]
+        # is the returned image, honoring the docstring contract.
         n_frames = -(-n_steps // capture_every)
         frames0 = jnp.zeros((n_frames,) + init.shape, init.dtype)
 
         def body(carry, i):
             sample, st, k, frames = carry
             sample, st, k = step_once(sample, st, k, i)
-            slot = (i - start_from) // capture_every
+            off = i - start_from
+            slot = off // capture_every  # == n_frames-1 for the final step
             frames = jax.lax.cond(
-                (i - start_from) % capture_every == 0,
+                (off % capture_every == 0) | (i == n - 1),
                 lambda f: jax.lax.dynamic_update_index_in_dim(f, sample, slot, 0),
                 lambda f: f,
                 frames,
@@ -132,10 +136,14 @@ def sample_sde_ve(
         score = apply_fn(params, sample, jnp.broadcast_to(sigma_t, (sample.shape[0],)))
         st, sample, sample_mean = scheduler.step_pred(st, score, i, sample, sub)
         if capture_every:
+            # the reference's SDE-VE movie appends sample_MEAN per step
+            # (pipeline_score_sde_ve.py:99-101), and its final image is the
+            # last mean — capture the mean and force the final step into the
+            # last slot so movie[-1] equals the returned image
             slot = i // capture_every
             frames = jax.lax.cond(
-                i % capture_every == 0,
-                lambda f: jax.lax.dynamic_update_index_in_dim(f, sample, slot, 0),
+                (i % capture_every == 0) | (i == n - 1),
+                lambda f: jax.lax.dynamic_update_index_in_dim(f, sample_mean, slot, 0),
                 lambda f: f,
                 frames,
             )

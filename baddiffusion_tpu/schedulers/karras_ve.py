@@ -136,8 +136,9 @@ def sample_karras_ve(scheduler, state, apply_fn, params, init, key, capture_ever
         def body(carry, i):
             sample, k, frames = carry
             sample, k = step_once(sample, k, i)
+            # final step always lands in the last slot: movie[-1] == result
             frames = jax.lax.cond(
-                i % capture_every == 0,
+                (i % capture_every == 0) | (i == n - 1),
                 lambda f: jax.lax.dynamic_update_index_in_dim(f, sample, i // capture_every, 0),
                 lambda f: f,
                 frames,

@@ -59,9 +59,13 @@ def sample_grids(
         )
         d = os.path.join(out_dir, sub)
         os.makedirs(d, exist_ok=True)
-        save_image_grid(out.images, os.path.join(d, f"ep{epoch_tag}.png"), rows=4, cols=4)
+        # square grid sized to what was actually sampled (4x4 at the
+        # reference's default eval_sample_n=16) — larger sample_n values
+        # must not silently drop the extra images
+        g = max(1, int(np.ceil(np.sqrt(len(out.images)))))
+        save_image_grid(out.images, os.path.join(d, f"ep{epoch_tag}.png"), rows=g, cols=g)
         if out.movie is not None:
-            save_image_grid(out.movie[0], os.path.join(d, f"ep{epoch_tag}_t0.png"), rows=4, cols=4)
+            save_image_grid(out.movie[0], os.path.join(d, f"ep{epoch_tag}_t0.png"), rows=g, cols=g)
 
 
 def train_loop(
@@ -94,11 +98,14 @@ def train_loop(
 
     base_key = jax.random.PRNGKey(seed)
     global_step = start_step
+    last_saved_step = None
 
     def checkpoint(epoch: int) -> None:
         # multi-process-safe: sharded arrays go to orbax as-is; the HF export
         # gathers params and writes on process 0 only (checkpoint.py)
+        nonlocal last_saved_step
         save_checkpoint(out_dir, state, epoch, make_pipeline, save_all_model_epochs)
+        last_saved_step = global_step
 
     cur_epoch = start_epoch
     try:
@@ -169,9 +176,25 @@ def train_loop(
                 jax.profiler.stop_trace()
             except Exception:
                 pass
-        # the reference's finally-block save (baddiffusion.py:635-645)
-        try:
-            checkpoint(cur_epoch)
-        except Exception:
-            Log.error("final checkpoint failed:\n" + traceback.format_exc())
+        # the reference's finally-block save (baddiffusion.py:635-645) —
+        # skipped when the last periodic checkpoint already captured this
+        # exact step (normal completion: line above just saved the final
+        # epoch; a second orbax save + pod-wide param gather is pure waste)
+        if last_saved_step != global_step:
+            leaves = jax.tree_util.tree_leaves(state)
+            if any(isinstance(l, jax.Array) and l.is_deleted() for l in leaves):
+                # the step's donated input buffers were consumed by the
+                # failing jitted call (train_step donates the state): there
+                # is no newer intact state to save — say so clearly instead
+                # of letting orbax raise a confusing 'Array deleted' error
+                Log.error(
+                    "cannot checkpoint: the in-flight state was consumed by "
+                    "buffer donation in the failing step; resume from the "
+                    "last periodic checkpoint in " + out_dir
+                )
+            else:
+                try:
+                    checkpoint(cur_epoch)
+                except Exception:
+                    Log.error("final checkpoint failed:\n" + traceback.format_exc())
     return state, global_step

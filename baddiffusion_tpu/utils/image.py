@@ -67,7 +67,7 @@ def save_image(image: np.ndarray, path: str) -> None:
     from PIL import Image
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arr = to_uint8(image[None] if image.ndim == 2 else image[None])[0]
+    arr = to_uint8(image[None])[0]
     if arr.ndim == 3 and arr.shape[-1] == 1:
         arr = arr[..., 0]
     Image.fromarray(arr).save(path)

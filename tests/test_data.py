@@ -741,3 +741,14 @@ class TestLSUNStagedPath:
     def test_unstaged_lsun_raises_with_guidance(self, tmp_path):
         with pytest.raises(FileNotFoundError, match="save_to_disk"):
             DatasetLoader(DatasetLoader.LSUN_BEDROOM, root=str(tmp_path), image_size=32)
+
+
+def test_prepare_dataset_requires_set_poison_all_paths():
+    """Every prepare_dataset path (FIXED/FLEX × seeded/hf) must raise the
+    friendly ValueError when set_poison was skipped — not float(None)."""
+    import pytest
+
+    for mode, split in [("FIXED", "seeded"), ("FLEX", "seeded"), ("FIXED", "hf"), ("FLEX", "hf")]:
+        dsl = DatasetLoader(DatasetLoader.FAKE, image_size=16, batch_size=8, fake_size=16)
+        with pytest.raises(ValueError, match="set_poison"):
+            dsl.prepare_dataset(mode=mode, split_method=split)

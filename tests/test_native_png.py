@@ -69,3 +69,31 @@ def test_decode_failure_reports(tmp_path):
     with open(bad, "wb") as f:
         f.write(b"not a png")
     assert decode_png_batch([bad], 8, 8, 3) is None
+
+
+def test_truncated_and_oversized_chunk_fail_cleanly(tmp_path):
+    """A PNG truncated mid-chunk, or one whose chunk header declares a length
+    past EOF, must return decode failure — not read past the heap buffer
+    (the chunk loop validates declared lengths against the file size)."""
+    import numpy as np
+
+    from baddiffusion_tpu.native.pngio import encode_png_batch
+
+    img = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(1, 8, 8, 3) % 255)
+    good = str(tmp_path / "good.png")
+    assert encode_png_batch(img, [good])
+    raw = open(good, "rb").read()
+
+    trunc = str(tmp_path / "trunc.png")
+    with open(trunc, "wb") as f:  # cut mid-IDAT
+        f.write(raw[: len(raw) // 2])
+    assert decode_png_batch([trunc], 8, 8, 3) is None
+
+    lie = str(tmp_path / "lie.png")
+    big = bytearray(raw)
+    # first chunk after the 8-byte signature is IHDR: inflate its declared
+    # length to 0xFFFFFF00 while keeping the file short
+    big[8:12] = (0xFFFFFF00).to_bytes(4, "big")
+    with open(lie, "wb") as f:
+        f.write(bytes(big))
+    assert decode_png_batch([lie], 8, 8, 3) is None

@@ -64,8 +64,18 @@ class TestPipeline:
         assert out.movie is not None
         assert out.movie.shape == (5, 1, 8, 8, 3)
         assert out.movie.min() >= 0.0 and out.movie.max() <= 1.0
-        # final frame of movie == final image
-        np.testing.assert_allclose(out.movie[-1], out.images, atol=0.5)
+        # final frame of movie == final image, exactly
+        np.testing.assert_allclose(out.movie[-1], out.images, atol=1e-6)
+
+    def test_movie_last_frame_is_final_even_off_stride(self, pipe):
+        """When (n_steps-1) isn't a stride multiple (n=10, stride=3 captures
+        offsets 0,3,6,9→ wait, 9 IS the final; use stride 4: offsets 0,4,8 —
+        final offset 9 off-stride), the last slot must still hold the FINAL
+        sample, not the last strided intermediate."""
+        out = pipe(batch_size=1, key=jax.random.PRNGKey(0), num_inference_steps=10,
+                   save_every_step=True, capture_every=4)
+        assert out.movie.shape == (3, 1, 8, 8, 3)
+        np.testing.assert_allclose(out.movie[-1], out.images, atol=1e-6)
 
     def test_start_from(self, pipe):
         out = pipe(batch_size=1, key=jax.random.PRNGKey(0), num_inference_steps=10, start_from=5)

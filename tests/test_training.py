@@ -227,3 +227,48 @@ def test_fsdp_param_specs_honors_axis_argument():
     flat = jax.tree.leaves(specs)  # PartitionSpec is itself a pytree leaf
     assert any("model" in tuple(s) for s in flat)
     assert not any("data" in tuple(s) for s in flat)
+
+
+def test_final_checkpoint_skipped_when_already_saved(monkeypatch, tmp_path):
+    """Normal completion: the last epoch's periodic checkpoint already
+    captured the final step — the finally-block must NOT run a second
+    (orbax save + param gather) for the identical state; it must still
+    save when a crash leaves unsaved progress."""
+    from baddiffusion_tpu.training import checkpoint as ckpt_mod
+    from baddiffusion_tpu.training.trainer import train_loop
+
+    calls = []
+    monkeypatch.setattr(
+        ckpt_mod, "save_checkpoint",
+        lambda out, state, epoch, mk, all_eps: calls.append(epoch),
+    )
+
+    batch = {"image_u8": np.zeros((2, 8, 8, 3), np.uint8), "is_clean": np.ones((2,), bool)}
+
+    class DSL:
+        trigger = None
+
+        def epoch_batches(self, epoch):
+            yield dict(batch)
+
+    class Tracker:
+        def log(self, *a, **k):
+            pass
+
+    ok_step = lambda s, img, ic, k: (s, {"loss": jnp.zeros(())})
+    common = dict(
+        dsl=DSL(), lr_schedule=lambda s: 1e-4, epochs=1, tracker=Tracker(),
+        out_dir=str(tmp_path), make_pipeline=lambda st: None,
+        save_image_epochs=100, save_model_epochs=1,
+    )
+
+    train_loop(train_step=ok_step, state={"params": np.zeros(3)}, **common)
+    assert calls == [0]  # periodic save only; finally-block skipped
+
+    def boom(s, img, ic, k):
+        raise RuntimeError("step failed")
+
+    calls.clear()
+    with pytest.raises(RuntimeError, match="step failed"):
+        train_loop(train_step=boom, state={"params": np.zeros(3)}, **common)
+    assert calls == [0]  # crash path: the finally-block save DID run
