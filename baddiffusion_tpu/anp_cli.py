@@ -23,19 +23,18 @@ import dataclasses
 import json
 import os
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import numpy as np
 
 from baddiffusion_tpu import factory
 from baddiffusion_tpu.data import DatasetLoader
-from baddiffusion_tpu.defense import apply_perturb, init_perturb, make_anp_step, perturbed_apply_fn
+from baddiffusion_tpu.defense import apply_perturb, init_perturb, make_anp_step
 from baddiffusion_tpu.metrics import mse as mse_fn
 from baddiffusion_tpu.metrics import ssim as ssim_fn
-from baddiffusion_tpu.pipelines import DiffusionPipeline, batch_sampling
+from baddiffusion_tpu.pipelines import batch_sampling
 from baddiffusion_tpu.training import make_optimizer, sample_grids
-from baddiffusion_tpu.training.optim import cosine_schedule_with_warmup
 from baddiffusion_tpu.utils.image import save_images
 from baddiffusion_tpu.utils.logging import Log
 from baddiffusion_tpu.utils.trackers import Tracker
@@ -68,6 +67,10 @@ class ANPConfig:
     seed: int = 0
     fake_size: int = 512
     sampling_steps: int = 1000
+    # per-epoch measure/grids sample in f32 (reference parity: its sampling
+    # uses the unwrapped fp32 model, SURVEY §8.6); 'bf16' opts into the 2x
+    # faster eval mode with the drift bound documented in PARITY.md
+    eval_dtype: str = "fp32"
 
 
 def naming_fn(config: ANPConfig) -> str:
@@ -92,6 +95,7 @@ def get_config(argv=None) -> ANPConfig:
     parser.add_argument("--measure_sample_n", type=int)
     parser.add_argument("--sampling_steps", type=int)
     parser.add_argument("--fake_size", type=int)
+    parser.add_argument("--eval_dtype", type=str, choices=["fp32", "bf16"])
     args = parser.parse_args(argv)
     for key, value in vars(args).items():
         if value is not None and hasattr(config, key):
@@ -100,12 +104,30 @@ def get_config(argv=None) -> ANPConfig:
     base = args.output_dir or ""
     config.output_dir = os.path.join(base, naming_fn(config)) if base else naming_fn(config)
 
+    # attack parameters are inherited from the target run (reference
+    # anp_config.py:79-86 reads args.json). args.json stores the RAW CLI
+    # args — a default-flag training run stores "trigger": null there while
+    # actually training with BOX_14/CORNER — so prefer the RESOLVED values
+    # in config.json and use args.json only as a fallback. (The reference
+    # reads args.json unguarded and crashes on such runs; silently falling
+    # back to ANPConfig's own 'NONE'/'TRIGGER' would be strictly worse —
+    # the defense would score against the wrong trigger.)
+    run_data = {}
+    cfg_path = os.path.join(config.ckpt, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            run_data = json.load(f)
     with open(os.path.join(config.ckpt, "args.json")) as f:
         args_data = json.load(f)
-    config.trigger = args_data["trigger"] or config.trigger
-    config.target = args_data["target"] or config.target
-    config.poison_rate = args_data.get("poison_rate")
-    config.dataset = args_data["dataset"] or config.dataset
+    for key in ("trigger", "target", "dataset"):
+        inherited = run_data.get(key) or args_data.get(key)
+        if inherited is None:
+            raise ValueError(
+                f"target run {config.ckpt} records no {key!r} in config.json/"
+                "args.json — cannot recover the attack configuration"
+            )
+        setattr(config, key, inherited)
+    config.poison_rate = run_data.get("poison_rate", args_data.get("poison_rate"))
 
     os.makedirs(config.output_dir, exist_ok=True)
     with open(os.path.join(config.output_dir, "config.json"), "w") as f:
@@ -229,6 +251,11 @@ def main(argv=None):
         # pure jnp, so the pipeline weights never round-trip through the host
         merged = apply_perturb(params, pt)
         pipe = get_pipeline(merged, scheduler)
+        # the ANP OPTIMIZATION runs mixed-precision (reference trains under
+        # an fp16 autocast, anp_config fp16 default) but its per-epoch
+        # sampling/measure uses the unwrapped fp32 model — override the
+        # model's bf16 compute for eval unless bf16 eval was opted into
+        pipe.compute_dtype = jnp.bfloat16 if config.eval_dtype == "bf16" else jnp.float32
         if mesh is not None:
             pipe.mesh = mesh  # per-epoch measure/grids sample data-parallel
         return pipe
@@ -237,6 +264,7 @@ def main(argv=None):
                       run_name=os.path.basename(config.output_dir))
     base_key = jax.random.PRNGKey(config.seed)
     gstep = 0
+    last_measure = None
     for epoch in range(config.epoch):
         for batch in dsl.epoch_batches(epoch):
             key = jax.random.fold_in(base_key, gstep)
@@ -253,7 +281,7 @@ def main(argv=None):
             sample_grids(pipe, dsl.trigger, config.output_dir, epoch,
                          sample_n=config.eval_sample_n, num_inference_steps=config.sampling_steps,
                          seed=config.seed)
-            measure(config, pipe, dsl, tracker, epoch=epoch)
+            last_measure = (epoch, measure(config, pipe, dsl, tracker, epoch=epoch))
 
     Log.info("Save model and sample images")
     pipe = make_pipe(perturb)
@@ -261,7 +289,16 @@ def main(argv=None):
     sample_grids(pipe, dsl.trigger, config.output_dir, "final",
                  sample_n=config.eval_sample_n, num_inference_steps=config.sampling_steps,
                  seed=config.seed)
-    measure(config, pipe, dsl, tracker, epoch=None)
+    if last_measure is not None and last_measure[0] == config.epoch - 1:
+        # the last per-epoch measure already sampled this exact (perturb,
+        # seed, ep) — deterministic, so re-sampling 128×1000 steps would
+        # reproduce the identical scores; just record them under the bare
+        # MSE/SSIM keys the final pass exists to write
+        mse_sc, ssim_sc = last_measure[1]
+        sc = update_score_file(config, mse_sc, ssim_sc, epoch=None)
+        tracker.log(dict(sc), step=dsl.num_batch * config.epoch)
+    else:
+        measure(config, pipe, dsl, tracker, epoch=None)
     tracker.close()
 
 

@@ -98,7 +98,9 @@ def init_model(config: TrainingConfig, dsl: DatasetLoader):
     )
 
 
-def run_train(config: TrainingConfig, resume: bool = False) -> None:
+def run_train(config: TrainingConfig, resume: bool = False):
+    """Returns the DatasetLoader so train+measure reuses it instead of
+    re-decoding/poison-splitting the whole dataset a second time."""
     dsl = get_data_loader(config)
     model, params, scheduler, get_pipeline = init_model(config, dsl)
     sstate = scheduler.create_state()
@@ -214,6 +216,7 @@ def run_train(config: TrainingConfig, resume: bool = False) -> None:
         )
     finally:
         tracker.close()
+    return dsl
 
 
 def load_pipeline_for_eval(config: TrainingConfig):
@@ -398,9 +401,9 @@ def run_measure(config: TrainingConfig, dsl: Optional[DatasetLoader] = None, res
 def main(argv=None):
     config = setup(argv)
     if config.mode in (MODE_TRAIN, MODE_RESUME, MODE_TRAIN_MEASURE):
-        run_train(config, resume=config.mode == MODE_RESUME)
+        dsl = run_train(config, resume=config.mode == MODE_RESUME)
         if config.mode == MODE_TRAIN_MEASURE:
-            run_measure(config)
+            run_measure(config, dsl=dsl)
     elif config.mode == MODE_SAMPLING:
         run_sampling(config)
     elif config.mode == MODE_MEASURE:

@@ -15,15 +15,13 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from baddiffusion_tpu.models.unet2d import DEFAULT_SCRATCH_CONFIG, UNet2DConfig, UNet2DModel
+from baddiffusion_tpu.models.unet2d import DEFAULT_SCRATCH_CONFIG, UNet2DModel
 from baddiffusion_tpu.pipelines.pipeline import DiffusionPipeline
-from baddiffusion_tpu.utils.logging import Log
 
 
 class DiffuserModelSched:
@@ -133,8 +131,14 @@ def _sched_spec(name: str):
     return table[name]
 
 
-PIPELINE_DEFAULT_STEPS = {"ddpm": 1000, "ddim": 50, "solver": 50, "sde": 2000}
-PIPELINE_HF_CLASS = {"ddpm": "DDPMPipeline", "ddim": "DDIMPipeline", "solver": "PNDMPipeline", "sde": "ScoreSdeVePipeline"}
+PIPELINE_DEFAULT_STEPS = {"ddpm": 1000, "ddim": 50, "solver": 50, "sde": 2000, "karras": 50}
+PIPELINE_HF_CLASS = {
+    "ddpm": "DDPMPipeline",
+    "ddim": "DDIMPipeline",
+    "solver": "PNDMPipeline",
+    "sde": "ScoreSdeVePipeline",
+    "karras": "KarrasVePipeline",
+}
 
 
 def resolve_checkpoint_path(ckpt: str) -> str:
@@ -249,13 +253,20 @@ def get_pretrained(
             from baddiffusion_tpu.pipelines.ldm import LDMPipeline
 
             pipe = LDMPipeline.from_pretrained(path, clip_sample=clip, dtype=dtype)
+            scheduler = pipe.scheduler
+            if noise_sched_type is not None:
+                # honor a requested scheduler swap the same way the non-LDM
+                # path does — silently keeping the checkpoint's scheduler
+                # would attribute results to the wrong sampler
+                make_sched, _kind = _sched_spec(noise_sched_type)
+                scheduler = make_sched(clip)
 
             def get_ldm_pipeline(params, scheduler):
                 return LDMPipeline(
                     pipe.vqvae, pipe.vqvae_params, pipe.unet, params, scheduler, clip_sample=clip
                 )
 
-            return pipe.unet, pipe.params, pipe.scheduler, get_ldm_pipeline
+            return pipe.unet, pipe.params, scheduler, get_ldm_pipeline
 
     model, params = load_unet(path, subfolder="unet", dtype=dtype)
 
@@ -265,9 +276,16 @@ def get_pretrained(
         scheduler = load_scheduler(path, subfolder="scheduler")
         if hasattr(scheduler.config, "clip_sample") and clip_sample is not None:
             scheduler = type(scheduler)(dataclasses.replace(scheduler.config, clip_sample=clip))
-        kind = "ddpm" if scheduler.hf_class_name == "DDPMScheduler" else "solver"
-        if scheduler.hf_class_name == "DDIMScheduler":
-            kind = "ddim"
+        # infer the pipeline kind from the stored scheduler class so a
+        # ScoreSdeVe checkpoint keeps its 2000-step default + the right
+        # model_index class (falling through to 'solver' would run VE
+        # sampling at 50 steps and label the export PNDMPipeline)
+        kind = {
+            "DDPMScheduler": "ddpm",
+            "DDIMScheduler": "ddim",
+            "ScoreSdeVeScheduler": "sde",
+            "KarrasVeScheduler": "karras",
+        }.get(scheduler.hf_class_name, "solver")
     else:
         make_sched, kind = _sched_spec(noise_sched_type)
         scheduler = make_sched(clip)

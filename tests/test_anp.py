@@ -324,3 +324,38 @@ class TestANPParityVsReference:
         # budget engaged: at least one parameter sits on the clamp boundary
         flat = np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(perturb)])
         assert np.any(np.isclose(np.abs(flat), budget, atol=1e-6)), "clamp never engaged — weak test"
+
+
+def test_get_config_prefers_resolved_config_json(tmp_path, monkeypatch):
+    """args.json stores RAW CLI args — a default-flag training run stores
+    trigger/target as null there. The ANP driver must recover the attack
+    configuration from the resolved config.json, never silently fall back to
+    ANPConfig's own 'NONE'/'TRIGGER' defaults (which would score the defense
+    against the wrong trigger)."""
+    import json
+
+    import pytest
+
+    from baddiffusion_tpu.anp_cli import get_config
+
+    run = tmp_path / "run"
+    run.mkdir()
+    # a default-flag run: raw args are null, resolved config has the defaults
+    (run / "args.json").write_text(json.dumps(
+        {"trigger": None, "target": None, "dataset": None, "poison_rate": None}))
+    (run / "config.json").write_text(json.dumps(
+        {"trigger": "BOX_14", "target": "CORNER", "dataset": "FAKE", "poison_rate": 0.1}))
+    monkeypatch.chdir(tmp_path)
+    config = get_config(["--ckpt", str(run)])
+    assert config.trigger == "BOX_14"
+    assert config.target == "CORNER"
+    assert config.dataset == "FAKE"
+    assert config.poison_rate == 0.1
+    assert config.eval_dtype == "fp32"  # measure runs f32 by default (§8.6)
+
+    # no recoverable attack config anywhere -> fail loud, not 'NONE'
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "args.json").write_text(json.dumps({"trigger": None, "target": None, "dataset": None}))
+    with pytest.raises(ValueError, match="cannot recover"):
+        get_config(["--ckpt", str(bad)])

@@ -104,3 +104,33 @@ class TestSolverConfigValidation:
         assert s.config.solver_type == "logrho"
         with pytest.raises(NotImplementedError, match="algorithm_type"):
             DEISMultistepScheduler(DEISConfig(algorithm_type="nope"))
+
+
+def test_checkpoint_kind_inference_sde_and_karras(tmp_path):
+    """A checkpoint whose stored scheduler is ScoreSdeVe/KarrasVe must keep
+    its own pipeline kind when reloaded without --sched: 2000-step default
+    for VE (50 would produce garbage silently) and the right model_index
+    class — not the 'solver'/PNDMPipeline fallback."""
+    import os
+
+    os.environ["BADDIFFUSION_TINY_ARCH"] = "1"
+    try:
+        from baddiffusion_tpu.schedulers import (
+            KarrasVeConfig, KarrasVeScheduler, ScoreSdeVeConfig, ScoreSdeVeScheduler,
+        )
+
+        model, params, _sched, get_pipeline = factory.get_model_sched(16, 3)
+        for sched, steps, hf_cls in [
+            (ScoreSdeVeScheduler(ScoreSdeVeConfig()), 2000, "ScoreSdeVePipeline"),
+            (KarrasVeScheduler(KarrasVeConfig()), 50, "KarrasVePipeline"),
+        ]:
+            pipe = get_pipeline(params, sched)
+            out = str(tmp_path / sched.hf_class_name)
+            pipe.save_pretrained(out)
+            _m, _p, loaded_sched, get_pipe2 = factory.get_pretrained(out)
+            assert type(loaded_sched) is type(sched)
+            pipe2 = get_pipe2(_p, loaded_sched)
+            assert pipe2.default_inference_steps == steps
+            assert pipe2.hf_class_name == hf_cls
+    finally:
+        os.environ.pop("BADDIFFUSION_TINY_ARCH", None)

@@ -158,3 +158,19 @@ class TestLDMPipeline:
         b = mp(init=init, key=k, num_inference_steps=4).images
         assert b.shape == (5, 16, 16, 3)
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_ldm_checkpoint_honors_scheduler_override(tmp_path):
+    """get_pretrained(ldm_dir, noise_sched_type=...) must apply the requested
+    scheduler swap like the non-LDM path — not silently keep the checkpoint's
+    own scheduler (results would be attributed to the wrong sampler)."""
+    from baddiffusion_tpu import factory
+    from baddiffusion_tpu.schedulers import DDIMScheduler
+
+    pipe = make_ldm()
+    out = str(tmp_path / "ldm_run")
+    pipe.save_pretrained(out)
+    _m, _p, sched, _g = factory.get_pretrained(out, noise_sched_type="DDIM-SCHED")
+    assert isinstance(sched, DDIMScheduler)
+    _m, _p, sched_default, _g = factory.get_pretrained(out)
+    assert type(sched_default) is type(pipe.scheduler)
