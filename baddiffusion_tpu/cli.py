@@ -169,6 +169,14 @@ def run_train(config: TrainingConfig, resume: bool = False):
         # batch/data_size rows, so the auto condition uses that. Calibrated
         # on a 16 GiB v5e — on smaller-HBM parts use --remat on if
         # compilation OOMs.
+        # Selective remat (jax.checkpoint policy saving conv/dot outputs,
+        # recomputing elementwise) was measured and REJECTED: at 32px/128 it
+        # moves MORE bytes than no-remat (32.1 vs 25.9 GiB/step, 3727 vs
+        # 3868 samples/s) because XLA's default scheduling already
+        # rematerializes the cheap chains it would save; and at 256px/32 even
+        # full remat OOMs single-chip, so micro-batch<=16 (grad accum) is the
+        # real constraint there. Both headline steps sit at ~104-110% of the
+        # logical HBM roofline — binary on/off is the whole tuning space.
         use_remat={"on": True, "off": False}.get(
             config.remat, dsl.image_size >= 256 and -(-config.batch // data_size) > 16
         ),
