@@ -358,9 +358,9 @@ def run_measure(config: TrainingConfig, dsl: Optional[DatasetLoader] = None, res
     need_clean = resample or not os.path.isdir(clean_path)
     need_backdoor = resample or not os.path.isdir(backdoor_path)
     if shard_count > 1:
-        from jax.experimental import multihost_utils
+        from baddiffusion_tpu.parallel.distributed import barrier
 
-        multihost_utils.sync_global_devices("baddiffusion_measure_planned")
+        barrier("measure_planned")
 
     steps_kw = {} if config.measure_steps is None else {"num_inference_steps": config.measure_steps}
     shard_kw = {"shard_index": shard_index, "shard_count": shard_count}
@@ -375,9 +375,9 @@ def run_measure(config: TrainingConfig, dsl: Optional[DatasetLoader] = None, res
 
     if shard_count > 1:
         # all shards' PNGs must be on disk before process 0 scores the dirs
-        from jax.experimental import multihost_utils
+        from baddiffusion_tpu.parallel.distributed import barrier
 
-        multihost_utils.sync_global_devices("baddiffusion_measure_sampled")
+        barrier("measure_sampled")
         if shard_index != 0:
             Log.info(f"process {shard_index}: sampling shard done; metrics run on process 0")
             return

@@ -39,10 +39,15 @@ def device_prefetch(
         return sharding
 
     def put(batch):
+        from baddiffusion_tpu.parallel.mesh import put_global
+
         out = {}
         for k, v in batch.items():
             s = resolve(k, v)
-            out[k] = jax.device_put(v, s) if s is not None else jax.device_put(v)
+            # put_global, not device_put: on a multi-process mesh the latter
+            # allgathers the host value over Gloo for an equality check —
+            # per batch, with a hard 30s context-init deadline (mesh.py)
+            out[k] = put_global(v, s) if s is not None else jax.device_put(v)
         return out
 
     def worker():

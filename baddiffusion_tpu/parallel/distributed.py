@@ -37,6 +37,30 @@ def initialize(
     if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
+    warmup_collectives()
+
+
+def warmup_collectives() -> None:
+    """Establish the cross-process collective clique while processes are
+    still aligned (initialize() is itself a rendezvous, so skew here is
+    sub-second).
+
+    On the CPU backend, XLA's collectives run over Gloo, and the FIRST
+    collective for a clique performs a context key-exchange with a hard
+    ~30 s deadline — if one process enters its first collective-bearing
+    program >30 s before its peers (XLA compile-cache skew was observed
+    doing exactly this in the 2-process tests, killing the early process
+    with ``Gloo context initialization failed: DEADLINE_EXCEEDED``), the
+    run dies even though both processes are healthy. The clique context is
+    cached after one successful rendezvous, so a single tiny collective
+    here immunizes every later program. On TPU backends collectives ride
+    ICI and this is just a fast barrier.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("baddiffusion_tpu:collective_warmup")
 
 
 def host_shard_slice(total: int, process_index: Optional[int] = None, process_count: Optional[int] = None) -> slice:
@@ -58,3 +82,42 @@ def global_batch_from_host_shards(batch: Dict[str, np.ndarray], mesh) -> Dict[st
         sharding = batch_sharding(mesh, np.ndim(v) or 1)
         out[k] = jax.make_array_from_process_local_data(sharding, np.asarray(v))
     return out
+
+
+_barrier_seq = 0
+
+
+def barrier(tag: str, timeout_s: float = 600.0) -> None:
+    """Cross-process barrier that tolerates large arrival skew.
+
+    ``multihost_utils.sync_global_devices`` runs a Gloo CPU collective whose
+    context initialization has a hard ~30 s key-exchange deadline — if one
+    process reaches the barrier >30 s before its peers (XLA compile skew, a
+    process-0-only artifact dump), the EARLY process dies with
+    ``Gloo context initialization failed: DEADLINE_EXCEEDED`` (observed live
+    in the 2-process CLI measure test). The jax.distributed coordination
+    service's own barrier takes an explicit timeout and needs no collective
+    context, so it is the primary path; Gloo only serves as the fallback when
+    the internal client API is unavailable.
+
+    Every process must call barriers in the same order (the same contract
+    sync_global_devices has): a per-process sequence number makes each call
+    site's barrier id unique without coordination.
+    """
+    if jax.process_count() <= 1:
+        return
+    global _barrier_seq
+    _barrier_seq += 1
+    client = None
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+    except Exception:
+        client = None
+    if client is not None:
+        client.wait_at_barrier(f"baddiffusion_tpu:{tag}:{_barrier_seq}", int(timeout_s * 1000))
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)

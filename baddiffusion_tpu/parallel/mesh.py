@@ -52,9 +52,38 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding) -> jax.Array:
+    """``device_put`` onto a mesh sharding without a cross-process rendezvous.
+
+    ``jax.device_put`` of a HOST value onto a sharding that spans every
+    process runs an internal equality check (jax dispatch.py
+    ``_device_put_sharding_impl`` → ``multihost_utils.assert_equal``) that
+    allgathers the full value over a Gloo CPU collective — per call. That is
+    (a) fragile: Gloo context init has a hard ~30 s key-exchange deadline, so
+    >30 s arrival skew between processes (XLA compile, process-0-only work)
+    kills the early process with ``Gloo context initialization failed:
+    DEADLINE_EXCEEDED`` (observed live in the 2-process tests); and (b) in a
+    per-step feed path, a full-batch host allgather over DCN every step.
+
+    Building the array per-shard with ``make_array_from_callback`` produces
+    the identical layout with no rendezvous — each process slices its own
+    host copy for only its addressable shards. The skipped equality check is
+    the callers' contract: every value placed this way is seed-derived or
+    checkpoint-derived identically on all processes.
+    """
+    if jax.process_count() == 1 or (
+        isinstance(x, jax.Array) and not x.is_fully_addressable
+    ):
+        # single-process placement, or a global array being RE-sharded —
+        # neither takes jax's host-value equality-check path
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, jax.Array]:
     """Place a host batch dict into its data-parallel layout."""
     return {
-        k: jax.device_put(v, batch_sharding(mesh, np.ndim(v) or 1))
+        k: put_global(v, batch_sharding(mesh, np.ndim(v) or 1))
         for k, v in batch.items()
     }

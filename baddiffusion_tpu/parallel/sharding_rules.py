@@ -40,9 +40,11 @@ def unet_param_specs(params: Dict[str, Any], threshold: int = 256) -> Dict[str, 
 
 def shard_params(params: Dict[str, Any], mesh: Mesh, threshold: int = 256) -> Dict[str, Any]:
     """Place params onto the mesh with the TP rules (replicated over data)."""
+    from baddiffusion_tpu.parallel.mesh import put_global
+
     specs = unet_param_specs(params, threshold)
     return jax.tree.map(
-        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
+        lambda p, s: put_global(p, NamedSharding(mesh, s)), params, specs
     )
 
 
@@ -130,12 +132,14 @@ def place_train_state(
     tp_threshold: int = 256,
     fsdp_min_size: int = 2**16,
 ):
-    """device_put the whole TrainState into its composed mesh layout. The
-    jitted train step picks the layout up through sharding propagation — no
-    step-function changes."""
+    """Place the whole TrainState into its composed mesh layout (put_global:
+    no cross-process rendezvous). The jitted train step picks the layout up
+    through sharding propagation — no step-function changes."""
+    from baddiffusion_tpu.parallel.mesh import put_global
+
     specs = train_state_specs(state, optimizer, mesh, param_sharding, tp_threshold, fsdp_min_size)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
+        lambda x, s: put_global(x, NamedSharding(mesh, s)), state, specs
     )
 
 

@@ -232,7 +232,9 @@ def ensure_on_device(params, mesh=None):
             isinstance(l, jax.Array) and l.sharding == sharding for l in leaves
         ):
             return params
-        return jax.device_put(params, sharding)
+        from baddiffusion_tpu.parallel.mesh import put_global
+
+        return jax.tree_util.tree_map(lambda l: put_global(l, sharding), params)
     if leaves and not isinstance(leaves[0], jax.Array):
         return jax.device_put(params)
     return params

@@ -40,9 +40,9 @@ def _checkpointer():
 
 def _barrier(tag: str) -> None:
     if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
+        from baddiffusion_tpu.parallel.distributed import barrier
 
-        multihost_utils.sync_global_devices(tag)
+        barrier(tag)
 
 
 def _is_primary() -> bool:

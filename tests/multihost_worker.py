@@ -71,7 +71,11 @@ def build_world(layout: str):
         state = create_train_state(params, optimizer, dsl.trigger, dsl.target, dsl.mask)
         if layout == "fsdp":
             return shard_state_fsdp(state, mesh, optimizer, min_size=1)
-        return jax.device_put(state, NamedSharding(mesh, P()))
+        from baddiffusion_tpu.parallel.mesh import put_global
+
+        # put_global: a multi-process device_put of host values would
+        # rendezvous over Gloo (30s context deadline) per leaf
+        return jax.tree.map(lambda x: put_global(x, NamedSharding(mesh, P())), state)
 
     step = make_train_step(
         model,

@@ -136,6 +136,37 @@ def test_global_batch_from_host_shards():
     assert len(out["image_u8"].sharding.device_set) == 8
 
 
+def test_put_global_matches_device_put():
+    """put_global must produce the identical global array (shape, sharding,
+    values) as a plain device_put for host values and 0-d leaves — it exists
+    to skip only the multi-process Gloo rendezvous, not to change layout."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from baddiffusion_tpu.parallel import make_mesh
+    from baddiffusion_tpu.parallel.mesh import put_global
+
+    mesh = make_mesh()
+    cases = [
+        (np.arange(16 * 4, dtype=np.float32).reshape(16, 4), P("data", None)),
+        (np.arange(16 * 4, dtype=np.float32).reshape(16, 4), P()),
+        (np.float32(3.5), P()),  # 0-d leaf (TrainState.step)
+        (jnp.arange(8, dtype=jnp.int32), P("data")),  # uncommitted jax.Array
+    ]
+    for x, spec in cases:
+        sharding = NamedSharding(mesh, spec)
+        a = put_global(x, sharding)
+        b = jax.device_put(x, sharding)
+        assert a.shape == b.shape and a.dtype == b.dtype
+        assert a.sharding == b.sharding, (spec, a.sharding)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # an already-global (resharding) input passes through device_put
+    g = jax.device_put(np.ones((16, 4), np.float32), NamedSharding(mesh, P("data", None)))
+    r = put_global(g, NamedSharding(mesh, P()))
+    assert r.sharding == NamedSharding(mesh, P())
+    np.testing.assert_array_equal(np.asarray(r), np.ones((16, 4)))
+
+
 def test_tensor_parallel_2d_mesh():
     # dp×tp mesh: wide kernels sharded on 'model', batch on 'data'
     from baddiffusion_tpu.parallel.sharding_rules import shard_params, unet_param_specs
