@@ -138,6 +138,13 @@ def run_train(config: TrainingConfig, resume: bool = False):
         else:
             mesh = make_mesh()
             Log.info(f"data-parallel mesh over {n_dev} devices")
+        # establish the per-axis collective cliques NOW, while processes are
+        # aligned — the first subgroup collective inside a compiled step
+        # would otherwise rendezvous under arbitrary compile skew
+        # (parallel/distributed.py:warmup_mesh_collectives)
+        from baddiffusion_tpu.parallel.distributed import warmup_mesh_collectives
+
+        warmup_mesh_collectives(mesh)
         # place the full TrainState into its composed layout (replicated /
         # TP / FSDP / TP+FSDP); the jitted step's in_shardings=None slots
         # infer the layout from the arrays — GSPMD inserts the collectives

@@ -257,8 +257,24 @@ def get_pretrained(
             if noise_sched_type is not None:
                 # honor a requested scheduler swap the same way the non-LDM
                 # path does — silently keeping the checkpoint's scheduler
-                # would attribute results to the wrong sampler
-                make_sched, _kind = _sched_spec(noise_sched_type)
+                # would attribute results to the wrong sampler. Like the
+                # reference (model.py:586-588), a swapped scheduler is built
+                # with the CLI-standard linear betas (1e-4→0.02, T=1000),
+                # NOT the checkpoint's stored schedule — bug-compatible by
+                # design: swapping samplers on a checkpoint trained under a
+                # different beta schedule degrades samples identically there.
+                make_sched, kind = _sched_spec(noise_sched_type)
+                if kind in ("sde", "karras"):
+                    # these run dedicated engines (predictor-corrector /
+                    # churn) that only DiffusionPipeline routes to; the LDM
+                    # latent loop drives schedulers through the generic
+                    # step() — fail loud instead of an AttributeError from
+                    # inside the jit trace. (The reference never dispatches
+                    # either name at all, model.py:637.)
+                    raise NotImplementedError(
+                        f"--sched {noise_sched_type} is not supported on LDM "
+                        "checkpoints (no generic step() engine for it)"
+                    )
                 scheduler = make_sched(clip)
 
             def get_ldm_pipeline(params, scheduler):

@@ -63,6 +63,49 @@ def warmup_collectives() -> None:
     multihost_utils.sync_global_devices("baddiffusion_tpu:collective_warmup")
 
 
+def warmup_mesh_collectives(mesh) -> None:
+    """Establish the PER-AXIS collective cliques of ``mesh``.
+
+    Collective contexts are per participating device subgroup, so
+    ``warmup_collectives`` (all devices) does not cover the subgroup
+    collectives a 2-D mesh emits — e.g. the gradient all-reduce over a
+    ``data``-axis subgroup under tensor parallelism, or FSDP's
+    reduce-scatter. One tiny psum per mesh axis, with the input sharded over
+    every axis, executes in ALL of that axis's subgroups simultaneously and
+    caches their contexts while processes are aligned (call right after
+    building the mesh, before any compile can skew them apart). Cheap enough
+    to run unconditionally (~one trivial XLA program per axis, once per
+    launch), which keeps the path exercised by single-process tests too.
+    """
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # moved to core in newer jax
+        from jax import shard_map
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from baddiffusion_tpu.parallel.mesh import put_global
+
+    sizes = tuple(mesh.shape[a] for a in mesh.axis_names)
+    if int(np.prod(sizes)) <= 1:
+        return
+    full = P(*mesh.axis_names)
+    x = put_global(np.zeros(sizes, np.float32), NamedSharding(mesh, full))
+    for axis in mesh.axis_names:
+        if mesh.shape[axis] <= 1:
+            continue
+        out_spec = P(*(None if a == axis else a for a in mesh.axis_names))
+        fn = jax.jit(
+            shard_map(
+                lambda v, ax=axis: jax.lax.psum(v, ax),
+                mesh=mesh,
+                in_specs=full,
+                out_specs=out_spec,
+            )
+        )
+        jax.block_until_ready(fn(x))
+
+
 def host_shard_slice(total: int, process_index: Optional[int] = None, process_count: Optional[int] = None) -> slice:
     """This host's contiguous slice of a globally-sized batch/dataset."""
     pi = jax.process_index() if process_index is None else process_index

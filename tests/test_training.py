@@ -167,6 +167,17 @@ def test_put_global_matches_device_put():
     np.testing.assert_array_equal(np.asarray(r), np.ones((16, 4)))
 
 
+def test_warmup_mesh_collectives_runs_on_both_mesh_shapes():
+    """Per-axis clique warmup must execute cleanly on 1-D and 2-D meshes
+    (it runs unconditionally at CLI mesh build; single-process it is just a
+    tiny psum per axis)."""
+    from baddiffusion_tpu.parallel import make_mesh
+    from baddiffusion_tpu.parallel.distributed import warmup_mesh_collectives
+
+    warmup_mesh_collectives(make_mesh())
+    warmup_mesh_collectives(make_mesh(shape=(4, 2), axis_names=("data", "model")))
+
+
 def test_tensor_parallel_2d_mesh():
     # dp×tp mesh: wide kernels sharded on 'model', batch on 'data'
     from baddiffusion_tpu.parallel.sharding_rules import shard_params, unet_param_specs

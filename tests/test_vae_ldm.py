@@ -174,3 +174,14 @@ def test_ldm_checkpoint_honors_scheduler_override(tmp_path):
     assert isinstance(sched, DDIMScheduler)
     _m, _p, sched_default, _g = factory.get_pretrained(out)
     assert type(sched_default) is type(pipe.scheduler)
+
+    # SDE needs the dedicated predictor-corrector engine the LDM latent loop
+    # doesn't route to — the swap must fail loud, not AttributeError inside
+    # the jit. (KarrasVe has no _sched_spec name at all, same as the
+    # reference never dispatching it — it already raises there.)
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="LDM"):
+        factory.get_pretrained(out, noise_sched_type="SCORE-SDE-VE-SCHED")
+    with pytest.raises(NotImplementedError, match="scheduler"):
+        factory.get_pretrained(out, noise_sched_type="KARRAS-VE-SCHED")
