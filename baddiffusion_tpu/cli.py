@@ -129,6 +129,7 @@ def run_train(config: TrainingConfig, resume: bool = False):
     n_dev = len(jax.devices())
     mp = max(1, config.model_parallel)
     mesh = None
+    state_shardings = None
     if n_dev > 1:
         if mp > 1:
             if n_dev % mp:
@@ -146,8 +147,12 @@ def run_train(config: TrainingConfig, resume: bool = False):
 
         warmup_mesh_collectives(mesh)
         # place the full TrainState into its composed layout (replicated /
-        # TP / FSDP / TP+FSDP); the jitted step's in_shardings=None slots
-        # infer the layout from the arrays — GSPMD inserts the collectives
+        # TP / FSDP / TP+FSDP) and pin the SAME layout on both sides of the
+        # jitted step — layout-stable: one program for every step, bitwise-
+        # reproducible across resume (GSPMD inserts the collectives)
+        from baddiffusion_tpu.parallel import train_state_shardings
+
+        state_shardings = train_state_shardings(state, optimizer, mesh, config.param_sharding)
         state = place_train_state(state, optimizer, mesh, config.param_sharding)
         if config.param_sharding == "fsdp":
             Log.info("FSDP parameter layout (params + optimizer sharded over data axis)")
@@ -168,6 +173,7 @@ def run_train(config: TrainingConfig, resume: bool = False):
         sstate.schedule.alphas_cumprod,
         grad_accum=config.gradient_accumulation_steps,
         mesh=mesh,
+        state_shardings=state_shardings,
         # remat only where activations would actually exceed HBM: measured on
         # v5e (16 GiB), the 256px no-remat step fits through PER-CHIP
         # micro-batch 16 (<=10 GiB temp) and is +28% faster at the canonical

@@ -8,6 +8,7 @@ from baddiffusion_tpu.parallel.sharding_rules import (
     place_train_state,
     shard_params,
     shard_state_fsdp,
+    train_state_shardings,
     train_state_specs,
     unet_param_specs,
 )
@@ -31,5 +32,6 @@ __all__ = [
     "fsdp_param_specs",
     "shard_state_fsdp",
     "train_state_specs",
+    "train_state_shardings",
     "place_train_state",
 ]

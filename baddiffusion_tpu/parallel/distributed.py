@@ -63,6 +63,61 @@ def warmup_collectives() -> None:
     multihost_utils.sync_global_devices("baddiffusion_tpu:collective_warmup")
 
 
+def compile_aligned(jitted_fn, *example_args, tag: str = "compile_aligned"):
+    """AOT-compile ``jitted_fn`` on every process, barrier, return the
+    compiled executable.
+
+    Collective contexts are created lazily per (clique, instance) the first
+    time a program executes — the warmups cover instance 0 of the common
+    cliques, but a program with several in-flight collectives creates
+    further instances at EXECUTION time, under the same ~30 s Gloo
+    key-exchange deadline (CPU backend). Within one program the collectives
+    themselves keep processes in lockstep; the dangerous skew is at program
+    ENTRY (XLA compile / cache-hit asymmetry, minutes for real programs).
+    Compiling first and releasing everyone together bounds entry skew to
+    the barrier's resolution. On TPU pods (ICI collectives, no Gloo) this
+    is still a sensible pattern: it turns "one process compiles while its
+    peers burn their collective timeout" into an explicit, observable wait.
+
+    The returned executable is called with the same argument structure
+    (shapes/dtypes/shardings must match; jit donation is preserved).
+    """
+    compiled = jitted_fn.lower(*example_args).compile()
+    barrier(tag)
+    return compiled
+
+
+class AlignedStep:
+    """Multi-process call wrapper: AOT-compile per distinct input-sharding
+    signature, with a barrier before each new executable's first run
+    (compile_aligned).
+
+    One signature is not enough: on a composed (TP/FSDP) mesh the jitted
+    step's OUTPUT layout can differ from its input layout (out_shardings
+    left to GSPMD), so the state returned by step 0 feeds step 1 with new
+    shardings — the plain jit path silently recompiles there, and an AOT
+    executable hard-errors. Signatures are deterministic SPMD state, so
+    every process meets each new signature at the same call index and the
+    barriers pair up.
+    """
+
+    def __init__(self, jitted_fn, tag: str = "aligned_step"):
+        self._fn = jitted_fn
+        self._tag = tag
+        self._compiled = {}
+
+    def __call__(self, *args):
+        sig = tuple(
+            str(l.sharding) if isinstance(l, jax.Array) else None
+            for l in jax.tree.leaves(args)
+        )
+        exe = self._compiled.get(sig)
+        if exe is None:
+            exe = compile_aligned(self._fn, *args, tag=f"{self._tag}:{len(self._compiled)}")
+            self._compiled[sig] = exe
+        return exe(*args)
+
+
 def warmup_mesh_collectives(mesh) -> None:
     """Establish the PER-AXIS collective cliques of ``mesh``.
 

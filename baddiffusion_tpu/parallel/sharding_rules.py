@@ -124,6 +124,22 @@ def train_state_specs(
     )
 
 
+def train_state_shardings(
+    state,
+    optimizer,
+    mesh: Mesh,
+    param_sharding: str = "replicated",
+    tp_threshold: int = 256,
+    fsdp_min_size: int = 2**16,
+):
+    """NamedSharding pytree for a TrainState's composed layout — pass to
+    ``make_train_step(state_shardings=...)`` to pin the state's layout on
+    both sides of the step (layout-stable: one program for every step,
+    bitwise-reproducible across resume)."""
+    specs = train_state_specs(state, optimizer, mesh, param_sharding, tp_threshold, fsdp_min_size)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+
+
 def place_train_state(
     state,
     optimizer,

@@ -68,6 +68,7 @@ def make_train_step(
     vmin: float = -1.0,
     vmax: float = 1.0,
     use_remat: bool = False,
+    state_shardings=None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -75,6 +76,15 @@ def make_train_step(
         (state, metrics dict)
 
     With ``grad_accum=k``, B must be k·micro and the micro-steps scan inside.
+
+    ``state_shardings`` (a NamedSharding pytree matching TrainState) pins the
+    state's layout on BOTH sides of the step. Without it, GSPMD may choose
+    an output layout that differs from the input layout on a composed
+    (TP × FSDP) mesh — then step 0 and the steady state are two different
+    programs with different reduction orders, which breaks bitwise
+    resume-equality and silently compiles twice. Left None, the step infers
+    layouts from its arguments (one step can then serve several layouts —
+    the dryrun uses this).
     """
     apply = model.apply
     if use_remat:
@@ -139,6 +149,6 @@ def make_train_step(
     return jax.jit(
         train_step,
         donate_argnums=(0,),
-        in_shardings=(None, data4, data1, repl),
-        out_shardings=(None, repl),
+        in_shardings=(state_shardings, data4, data1, repl),
+        out_shardings=(state_shardings, repl),
     )

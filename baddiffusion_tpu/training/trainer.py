@@ -108,6 +108,16 @@ def train_loop(
         last_saved_step = global_step
 
     cur_epoch = start_epoch
+    # multi-process: AOT-compile each step program, then barrier, so every
+    # process enters its first execution together — unbounded compile/
+    # cache-hit skew at program entry would otherwise run one process into
+    # its peers' collective-context timeout
+    # (parallel/distributed.py:AlignedStep)
+    exec_step = train_step
+    if jax.process_count() > 1:
+        from baddiffusion_tpu.parallel.distributed import AlignedStep
+
+        exec_step = AlignedStep(train_step, tag="train_step")
     try:
         for epoch in range(start_epoch, epochs):
             cur_epoch = epoch
@@ -125,7 +135,7 @@ def train_loop(
                     jax.profiler.stop_trace()
                     Log.info(f"profiler trace written to {out_dir}/profile")
                 key = jax.random.fold_in(base_key, global_step)
-                state, metrics = train_step(state, batch["image_u8"], batch["is_clean"], key)
+                state, metrics = exec_step(state, batch["image_u8"], batch["is_clean"], key)
                 if global_step % log_every == 0:
                     logs = {
                         "loss": float(jax.device_get(metrics["loss"])),

@@ -19,9 +19,11 @@ checkpoint/resume contract (training/checkpoint.py):
       against an uninterrupted 3-step run in the same layout. Prints
       "MULTIHOST_RESUME_OK <loss2>".
 
-  layout: "replicated" (reference-parity DP) or "fsdp" (ZeRO-3: params +
-      Adam moments sharded over the data axis — the case where no single
-      process can address the whole state).
+  layout: "replicated" (reference-parity DP), "fsdp" (ZeRO-3: params + Adam
+      moments sharded over the data axis — the case where no single process
+      can address the whole state), or "tp_fsdp" (2-D data × model mesh with
+      TP-sharded wide kernels composed with FSDP — cross-process data-axis
+      subgroup collectives).
 
 The losses printed must agree across processes (same SPMD program, same
 data).
@@ -39,13 +41,21 @@ def build_world(layout: str):
 
     from baddiffusion_tpu.data import DatasetLoader
     from baddiffusion_tpu.models import UNet2DConfig, UNet2DModel
-    from baddiffusion_tpu.parallel import make_mesh, shard_state_fsdp
+    from baddiffusion_tpu.parallel import make_mesh, place_train_state, shard_state_fsdp
+    from baddiffusion_tpu.parallel.distributed import warmup_mesh_collectives
     from baddiffusion_tpu.pipelines import DiffusionPipeline
     from baddiffusion_tpu.schedulers import DDPMConfig, DDPMScheduler
     from baddiffusion_tpu.training import create_train_state, make_optimizer, make_train_step
 
-    mesh = make_mesh()
     n_global = len(jax.devices())
+    if layout == "tp_fsdp":
+        # 2-D (data × model) mesh: model-axis subgroups are process-LOCAL
+        # device pairs, data-axis subgroups are CROSS-process — the exact
+        # sub-clique collectives warmup_mesh_collectives exists for
+        mesh = make_mesh(shape=(n_global // 2, 2), axis_names=("data", "model"))
+    else:
+        mesh = make_mesh()
+    warmup_mesh_collectives(mesh)
 
     cfg = UNet2DConfig(
         sample_size=16,
@@ -71,19 +81,45 @@ def build_world(layout: str):
         state = create_train_state(params, optimizer, dsl.trigger, dsl.target, dsl.mask)
         if layout == "fsdp":
             return shard_state_fsdp(state, mesh, optimizer, min_size=1)
+        if layout == "tp_fsdp":
+            # wide kernels shard over 'model' (threshold 16 engages TP on the
+            # tiny arch) AND large leaves shard over 'data' (ZeRO-3)
+            return place_train_state(
+                state, optimizer, mesh, "fsdp", tp_threshold=16, fsdp_min_size=1
+            )
         from baddiffusion_tpu.parallel.mesh import put_global
 
         # put_global: a multi-process device_put of host values would
         # rendezvous over Gloo (30s context deadline) per leaf
         return jax.tree.map(lambda x: put_global(x, NamedSharding(mesh, P())), state)
 
-    step = make_train_step(
-        model,
-        optimizer,
-        sched.config.num_train_timesteps,
-        sstate.schedule.alphas,
-        sstate.schedule.alphas_cumprod,
-        mesh=mesh,
+    # pin the state layout on both sides of the step (layout-stable: one
+    # program for every step, required for the bitwise resume oracle on the
+    # composed mesh) and align compile/execution entry across processes
+    from baddiffusion_tpu.parallel import train_state_shardings
+    from baddiffusion_tpu.parallel.distributed import AlignedStep
+
+    template = create_train_state(
+        model.init_params(jax.random.PRNGKey(0), sample_size=16),
+        optimizer, dsl.trigger, dsl.target, dsl.mask,
+    )
+    layout_kw = {
+        "replicated": dict(param_sharding="replicated"),
+        "fsdp": dict(param_sharding="fsdp", fsdp_min_size=1),
+        "tp_fsdp": dict(param_sharding="fsdp", tp_threshold=16, fsdp_min_size=1),
+    }[layout]
+    state_shardings = train_state_shardings(template, optimizer, mesh, **layout_kw)
+
+    step = AlignedStep(
+        make_train_step(
+            model,
+            optimizer,
+            sched.config.num_train_timesteps,
+            sstate.schedule.alphas,
+            sstate.schedule.alphas_cumprod,
+            mesh=mesh,
+            state_shardings=state_shardings,
+        )
     )
     batches = list(dsl.epoch_batches(0)) + list(dsl.epoch_batches(1))  # 8 deterministic batches
 

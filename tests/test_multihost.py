@@ -113,7 +113,7 @@ def _marker_losses(outs, marker: str):
 @pytest.mark.slow  # two real jax.distributed processes: gated tier
 @pytest.mark.reference
 class TestTwoProcessIntegration:
-    @pytest.mark.parametrize("layout", ["replicated", "fsdp"])
+    @pytest.mark.parametrize("layout", ["replicated", "fsdp", "tp_fsdp"])
     def test_two_process_train_checkpoint_resume(self, layout, tmp_path):
         """jax.distributed over 2 real local processes: shard assembly, two
         full sharded backdoor train steps, a multi-process checkpoint (orbax
@@ -123,7 +123,11 @@ class TestTwoProcessIntegration:
 
         layout=fsdp is the case the round-2 review called out: params + Adam
         moments are sharded so no single process can address the full state —
-        a naive device_get checkpoint would crash outright.
+        a naive device_get checkpoint would crash outright. layout=tp_fsdp
+        runs the composed 2-D (data × model) mesh with REAL cross-process
+        data-axis subgroup collectives (TP grad all-reduce, FSDP
+        reduce-scatter) — the sub-clique scenario warmup_mesh_collectives
+        protects.
         """
         out_dir = str(tmp_path / f"run_{layout}")
         outs = _launch("train", layout, out_dir)
