@@ -591,7 +591,9 @@ class TestStreamingStore:
             for _ in range(2)
         ]
         for p in procs:
-            _, err = p.communicate(timeout=120)
+            # generous: each subprocess cold-imports jax (~15 s unloaded) and
+            # the suite may be running on an oversubscribed box
+            _, err = p.communicate(timeout=300)
             assert p.returncode == 0, err.decode()
         store = np.load(tmp_path / "c.npy", mmap_mode="r")
         assert store.shape == (64, 16, 16, 1) and (np.asarray(store) == 7).all()
