@@ -123,7 +123,7 @@ def run_train(config: TrainingConfig, resume: bool = False):
     # but as one SPMD program; single chip → no mesh). --model_parallel m
     # builds a 2-D (data=N/m, model=m) mesh; --param_sharding fsdp composes
     # on the same mesh's data axis (sharding_rules.train_state_specs).
-    from baddiffusion_tpu.parallel import make_mesh, place_train_state
+    from baddiffusion_tpu.parallel import make_mesh
     from baddiffusion_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
     n_dev = len(jax.devices())
@@ -149,11 +149,14 @@ def run_train(config: TrainingConfig, resume: bool = False):
         # place the full TrainState into its composed layout (replicated /
         # TP / FSDP / TP+FSDP) and pin the SAME layout on both sides of the
         # jitted step — layout-stable: one program for every step, bitwise-
-        # reproducible across resume (GSPMD inserts the collectives)
+        # reproducible across resume (GSPMD inserts the collectives). One
+        # sharding tree is the single source of truth for both placement
+        # and pinning.
         from baddiffusion_tpu.parallel import train_state_shardings
+        from baddiffusion_tpu.parallel.mesh import put_global
 
         state_shardings = train_state_shardings(state, optimizer, mesh, config.param_sharding)
-        state = place_train_state(state, optimizer, mesh, config.param_sharding)
+        state = jax.tree.map(put_global, state, state_shardings)
         if config.param_sharding == "fsdp":
             Log.info("FSDP parameter layout (params + optimizer sharded over data axis)")
 

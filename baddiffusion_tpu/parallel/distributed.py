@@ -63,9 +63,17 @@ def warmup_collectives() -> None:
     multihost_utils.sync_global_devices("baddiffusion_tpu:collective_warmup")
 
 
-def compile_aligned(jitted_fn, *example_args, tag: str = "compile_aligned"):
+def compile_aligned(
+    jitted_fn, *example_args, tag: str = "compile_aligned", timeout_s: float = 3600.0
+):
     """AOT-compile ``jitted_fn`` on every process, barrier, return the
     compiled executable.
+
+    ``timeout_s`` bounds the post-compile barrier: it must cover the full
+    compile-time ASYMMETRY between processes (one hitting the persistent
+    compile cache in seconds while a peer cold-compiles for many minutes —
+    the 256px remat step has been observed >9 min cold), so it defaults far
+    above barrier()'s generic 600 s.
 
     Collective contexts are created lazily per (clique, instance) the first
     time a program executes — the warmups cover instance 0 of the common
@@ -83,14 +91,13 @@ def compile_aligned(jitted_fn, *example_args, tag: str = "compile_aligned"):
     (shapes/dtypes/shardings must match; jit donation is preserved).
     """
     compiled = jitted_fn.lower(*example_args).compile()
-    barrier(tag)
+    barrier(tag, timeout_s=timeout_s)
     return compiled
 
 
 class AlignedStep:
-    """Multi-process call wrapper: AOT-compile per distinct input-sharding
-    signature, with a barrier before each new executable's first run
-    (compile_aligned).
+    """Multi-process call wrapper: AOT-compile per distinct input signature,
+    with a barrier before each new executable's first run (compile_aligned).
 
     One signature is not enough: on a composed (TP/FSDP) mesh the jitted
     step's OUTPUT layout can differ from its input layout (out_shardings
@@ -99,21 +106,30 @@ class AlignedStep:
     executable hard-errors. Signatures are deterministic SPMD state, so
     every process meets each new signature at the same call index and the
     barriers pair up.
+
+    The signature keys on each leaf's (aval, sharding) — shape and dtype
+    included, since an AOT executable rejects aval changes that a plain jit
+    call would absorb by recompiling (e.g. a ragged final batch).
     """
 
-    def __init__(self, jitted_fn, tag: str = "aligned_step"):
+    def __init__(self, jitted_fn, tag: str = "aligned_step", timeout_s: float = 3600.0):
         self._fn = jitted_fn
         self._tag = tag
+        self._timeout_s = timeout_s
         self._compiled = {}
 
     def __call__(self, *args):
         sig = tuple(
-            str(l.sharding) if isinstance(l, jax.Array) else None
+            (l.aval, l.sharding) if isinstance(l, jax.Array) else None
             for l in jax.tree.leaves(args)
         )
         exe = self._compiled.get(sig)
         if exe is None:
-            exe = compile_aligned(self._fn, *args, tag=f"{self._tag}:{len(self._compiled)}")
+            exe = compile_aligned(
+                self._fn, *args,
+                tag=f"{self._tag}:{len(self._compiled)}",
+                timeout_s=self._timeout_s,
+            )
             self._compiled[sig] = exe
         return exe(*args)
 
@@ -133,10 +149,9 @@ def warmup_mesh_collectives(mesh) -> None:
     launch), which keeps the path exercised by single-process tests too.
     """
     try:
+        from jax import shard_map  # core since jax 0.8
+    except ImportError:
         from jax.experimental.shard_map import shard_map
-    except ImportError:  # moved to core in newer jax
-        from jax import shard_map
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from baddiffusion_tpu.parallel.mesh import put_global

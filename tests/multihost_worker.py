@@ -37,11 +37,10 @@ def build_world(layout: str):
     """(mesh, model, optimizer, dsl, make_state, step, batches, make_pipeline)."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from baddiffusion_tpu.data import DatasetLoader
     from baddiffusion_tpu.models import UNet2DConfig, UNet2DModel
-    from baddiffusion_tpu.parallel import make_mesh, place_train_state, shard_state_fsdp
+    from baddiffusion_tpu.parallel import make_mesh
     from baddiffusion_tpu.parallel.distributed import warmup_mesh_collectives
     from baddiffusion_tpu.pipelines import DiffusionPipeline
     from baddiffusion_tpu.schedulers import DDPMConfig, DDPMScheduler
@@ -76,39 +75,34 @@ def build_world(layout: str):
     )
     dsl.set_poison("BOX_8", "CORNER", poison_rate=0.5).prepare_dataset()
 
-    def make_state():
-        params = model.init_params(jax.random.PRNGKey(0), sample_size=16)  # same on every host
-        state = create_train_state(params, optimizer, dsl.trigger, dsl.target, dsl.mask)
-        if layout == "fsdp":
-            return shard_state_fsdp(state, mesh, optimizer, min_size=1)
-        if layout == "tp_fsdp":
-            # wide kernels shard over 'model' (threshold 16 engages TP on the
-            # tiny arch) AND large leaves shard over 'data' (ZeRO-3)
-            return place_train_state(
-                state, optimizer, mesh, "fsdp", tp_threshold=16, fsdp_min_size=1
-            )
-        from baddiffusion_tpu.parallel.mesh import put_global
-
-        # put_global: a multi-process device_put of host values would
-        # rendezvous over Gloo (30s context deadline) per leaf
-        return jax.tree.map(lambda x: put_global(x, NamedSharding(mesh, P())), state)
-
-    # pin the state layout on both sides of the step (layout-stable: one
-    # program for every step, required for the bitwise resume oracle on the
-    # composed mesh) and align compile/execution entry across processes
+    # ONE sharding tree per layout is the single source of truth: placement
+    # (put_global: no Gloo rendezvous per leaf) and the step's layout
+    # pinning both derive from it. The template is abstract (eval_shape) —
+    # no duplicate param init.
     from baddiffusion_tpu.parallel import train_state_shardings
-    from baddiffusion_tpu.parallel.distributed import AlignedStep
+    from baddiffusion_tpu.parallel.mesh import put_global
 
-    template = create_train_state(
-        model.init_params(jax.random.PRNGKey(0), sample_size=16),
-        optimizer, dsl.trigger, dsl.target, dsl.mask,
-    )
+    def host_state():
+        params = model.init_params(jax.random.PRNGKey(0), sample_size=16)  # same on every host
+        return create_train_state(params, optimizer, dsl.trigger, dsl.target, dsl.mask)
+
     layout_kw = {
         "replicated": dict(param_sharding="replicated"),
+        # tp_threshold=16 engages TP on the tiny arch; fsdp_min_size=1
+        # shards everything (ZeRO-3)
         "fsdp": dict(param_sharding="fsdp", fsdp_min_size=1),
         "tp_fsdp": dict(param_sharding="fsdp", tp_threshold=16, fsdp_min_size=1),
     }[layout]
+    template = jax.eval_shape(host_state)
     state_shardings = train_state_shardings(template, optimizer, mesh, **layout_kw)
+
+    def make_state():
+        return jax.tree.map(put_global, host_state(), state_shardings)
+
+    # the step pins the same sharding tree on both sides (layout-stable: one
+    # program for every step, required for the bitwise resume oracle on the
+    # composed mesh); AlignedStep aligns compile/execution entry
+    from baddiffusion_tpu.parallel.distributed import AlignedStep
 
     step = AlignedStep(
         make_train_step(
@@ -171,7 +165,10 @@ def main() -> None:
     n_global = len(jax.devices())
     assert n_global == 2 * nproc, jax.devices()
 
-    mesh, dsl, make_state, step, batches, make_pipeline = build_world(layout)
+    if phase != "cli":
+        # the cli phase drives the production cli.main(), which builds its
+        # own world — constructing this one there would be pure waste
+        mesh, dsl, make_state, step, batches, make_pipeline = build_world(layout)
 
     if phase == "train":
         # shard-assembly check: addressable shards hold exactly this host's rows

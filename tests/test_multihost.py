@@ -66,6 +66,54 @@ class TestGlobalBatchSingleProcess:
             np.testing.assert_array_equal(np.asarray(ga[k]), np.asarray(gb[k]))
 
 
+class TestAlignedStep:
+    def test_signature_keys_on_aval_and_sharding(self):
+        """The executable cache must key on each leaf's (aval, sharding), not
+        sharding alone: an AOT executable hard-errors on aval changes that a
+        plain jit call would absorb by recompiling (e.g. a ragged final
+        batch), so a same-sharding different-shape call needs a NEW entry."""
+        import jax
+        import jax.numpy as jnp
+
+        from baddiffusion_tpu.parallel.distributed import AlignedStep
+
+        step = AlignedStep(jax.jit(lambda x: x * 2.0))
+        a = jnp.arange(8, dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(step(a)), np.asarray(a) * 2)
+        assert len(step._compiled) == 1
+        # steady state: same signature reuses the cached executable
+        step(a + 1.0)
+        assert len(step._compiled) == 1
+        # ragged batch: same (replicated) sharding, different shape — must
+        # compile a second executable and still produce the right answer
+        b = jnp.arange(5, dtype=jnp.float32)
+        assert b.sharding == a.sharding
+        np.testing.assert_array_equal(np.asarray(step(b)), np.asarray(b) * 2)
+        assert len(step._compiled) == 2
+        # dtype is part of the aval too
+        c = jnp.arange(8, dtype=jnp.bfloat16)
+        step(c)
+        assert len(step._compiled) == 3
+
+    def test_non_array_leaves_and_donation(self):
+        """numpy/scalar leaves sign as None; jit donation survives AOT."""
+        import jax
+        import jax.numpy as jnp
+
+        from baddiffusion_tpu.parallel.distributed import AlignedStep
+
+        step = AlignedStep(jax.jit(lambda s, k: s + k, donate_argnums=(0,)))
+        s = jnp.ones((4,), jnp.float32)
+        out = step(s, np.float32(3.0))
+        np.testing.assert_array_equal(np.asarray(out), np.full((4,), 4.0, np.float32))
+        assert len(step._compiled) == 1
+        assert s.is_deleted()  # donated buffer was consumed
+        # the donated-output array feeds the next call with the same signature
+        out2 = step(out, np.float32(1.0))
+        assert len(step._compiled) == 1
+        np.testing.assert_array_equal(np.asarray(out2), np.full((4,), 5.0, np.float32))
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
