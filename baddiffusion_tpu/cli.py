@@ -237,6 +237,7 @@ def run_train(config: TrainingConfig, resume: bool = False):
             capture_every=config.capture_every,
             profile_steps=config.profile_steps,
             mesh=mesh,
+            async_ckpt=config.async_ckpt,
         )
     finally:
         tracker.close()

@@ -53,7 +53,7 @@ MODE_RESUME_OPTS = ["project", "mode", "gpu", "ckpt"]
 MODE_SAMPLING_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 MODE_MEASURE_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 IGNORE_ARGS = ["overwrite", "is_save_all_model_epochs"]
-EXTRA_OPTS = ["fake_size", "measure_sample_n", "measure_steps", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat", "param_sharding", "model_parallel", "capture_every", "image_size"]
+EXTRA_OPTS = ["fake_size", "measure_sample_n", "measure_steps", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat", "param_sharding", "model_parallel", "capture_every", "image_size", "async_ckpt"]
 
 SCHED_CHOICES = [
     "DDPM-SCHED", "DDIM-SCHED",
@@ -142,6 +142,10 @@ class TrainingConfig:
     # (DDPM 1000, solver families 50 — reference measure never overrides)
     measure_steps: Optional[int] = None
     profile_steps: int = 0  # >0: write a jax.profiler trace of N train steps
+    # overlap the orbax checkpoint disk write with training (single-process;
+    # data.json is deferred until the commit completes, so a crash inside the
+    # async window can only make resume conservative — checkpoint.py)
+    async_ckpt: bool = False
 
     def save_json(self, path: str) -> None:
         with open(path, "w") as f:
@@ -211,6 +215,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--image_size", type=int,
                         help="override the dataset-keyed image size (default: 32/64/256 per dataset)")
     parser.add_argument("--profile_steps", type=int, help="write a jax.profiler trace of N train steps to <out>/profile")
+    parser.add_argument("--async_ckpt", action="store_true", default=None,
+                        help="overlap checkpoint disk writes with training (single-process)")
     return parser
 
 

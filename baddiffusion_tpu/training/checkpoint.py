@@ -38,6 +38,46 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+# -- async checkpointing (opt-in, --async_ckpt) ------------------------------
+#
+# One process-wide AsyncCheckpointer: orbax copies the arrays to host
+# synchronously inside save() and commits the write on a background thread,
+# so training overlaps the disk write. data.json is DEFERRED: it is written
+# only once its save is known committed (at the next save, or at
+# finish_async_saves()). A crash inside the async window therefore leaves
+# data.json pointing at the PREVIOUS committed checkpoint — resume re-runs a
+# little more (the safe direction, and the reference's resume already re-runs
+# the saved epoch, baddiffusion.py:341,586) — never at arrays that were not
+# fully written.
+_async_ckptr = None
+_pending_meta: Optional[Tuple[str, int, int]] = None  # (out_dir, epoch, step)
+
+
+def _async_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def _write_data_json(out_dir: str, epoch: int, step: int) -> None:
+    with open(os.path.join(out_dir, DATA_JSON), "w") as f:
+        json.dump({"epoch": int(epoch), "step": step}, f)
+
+
+def finish_async_saves() -> None:
+    """Block until any in-flight async checkpoint is committed, then publish
+    its deferred data.json. Safe to call when nothing is pending."""
+    global _pending_meta
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+    if _pending_meta is not None:
+        _write_data_json(*_pending_meta)
+        _pending_meta = None
+
+
 def _barrier(tag: str) -> None:
     if jax.process_count() > 1:
         from baddiffusion_tpu.parallel.distributed import barrier
@@ -70,12 +110,20 @@ def gather_tree_to_host(tree):
     return jax.device_get(_replicated_gather(mesh)(tree))
 
 
-def save_trainer_state(out_dir: str, state, epoch: int) -> None:
+def save_trainer_state(out_dir: str, state, epoch: int, async_save: bool = False) -> None:
     """Write <out>/ckpt (orbax pytree) + <out>/data.json = {'epoch','step'}.
 
     ``state`` may hold sharded jax.Arrays; every process must call this with
     the same structure (orbax writes per-process shards + one commit).
+
+    ``async_save`` (single-process only; multi-process launches keep the
+    proven barrier-coupled sync path) returns once the arrays are copied to
+    host and commits the disk write on orbax's background thread; data.json
+    publication is deferred until the commit is known complete (see
+    finish_async_saves above). Call ``finish_async_saves()`` before reading
+    the checkpoint back or exiting.
     """
+    global _pending_meta
     try:
         if _is_primary():
             os.makedirs(out_dir, exist_ok=True)
@@ -84,9 +132,20 @@ def save_trainer_state(out_dir: str, state, epoch: int) -> None:
         # in sync_global_devices (the exception still propagates on process 0)
         _barrier("ckpt_dir")
     path = os.path.abspath(os.path.join(out_dir, CKPT_SUBDIR))
-    ckptr = _checkpointer()
     import orbax.checkpoint as ocp
 
+    if async_save and jax.process_count() == 1:
+        ckptr = _async_checkpointer()
+        finish_async_saves()  # previous save committed + its data.json out
+        step = int(jax.device_get(state.step)) if hasattr(state, "step") else 0
+        ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+        _pending_meta = (out_dir, int(epoch), step)
+        return
+    if _async_ckptr is not None:
+        # never let a sync save (force=True deletes the destination) race an
+        # in-flight async commit to the same path
+        finish_async_saves()
+    ckptr = _checkpointer()
     try:
         ckptr.save(path, state, force=True)
     except TypeError:
@@ -95,8 +154,7 @@ def save_trainer_state(out_dir: str, state, epoch: int) -> None:
     step = int(jax.device_get(state.step)) if hasattr(state, "step") else 0
     try:
         if _is_primary():
-            with open(os.path.join(out_dir, DATA_JSON), "w") as f:
-                json.dump({"epoch": int(epoch), "step": step}, f)
+            _write_data_json(out_dir, epoch, step)
     finally:
         _barrier("ckpt_done")
 
@@ -142,15 +200,19 @@ def save_checkpoint(
     epoch: int,
     make_pipeline: Optional[Callable] = None,
     save_all_model_epochs: bool = False,
+    async_save: bool = False,
 ) -> None:
     """The reference's dual-format checkpoint (baddiffusion.py:558-570):
     orbax trainer state + deployable HF pipeline layout, multi-process-safe.
 
     ``make_pipeline(state_with_host_params)`` must return an object with
     ``save_pretrained``; it receives params already gathered to host numpy so
-    the export never touches non-addressable shards.
+    the export never touches non-addressable shards. ``async_save`` overlaps
+    the orbax disk write with what follows (the HF export here, then
+    training); the export itself stays synchronous — it is the
+    crash-deployability artifact.
     """
-    save_trainer_state(out_dir, state, epoch)
+    save_trainer_state(out_dir, state, epoch, async_save=async_save)
     if make_pipeline is not None:
         host_params = gather_tree_to_host(state.params)
         try:

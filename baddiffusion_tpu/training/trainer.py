@@ -91,10 +91,11 @@ def train_loop(
     log_every: int = 20,
     on_epoch_end: Optional[Callable] = None,
     profile_steps: int = 0,
+    async_ckpt: bool = False,
 ):
     """Returns the final TrainState. Crash-tolerant: always checkpoints."""
     from baddiffusion_tpu.parallel.mesh import batch_sharding
-    from baddiffusion_tpu.training.checkpoint import save_checkpoint
+    from baddiffusion_tpu.training.checkpoint import finish_async_saves, save_checkpoint
 
     base_key = jax.random.PRNGKey(seed)
     global_step = start_step
@@ -104,7 +105,9 @@ def train_loop(
         # multi-process-safe: sharded arrays go to orbax as-is; the HF export
         # gathers params and writes on process 0 only (checkpoint.py)
         nonlocal last_saved_step
-        save_checkpoint(out_dir, state, epoch, make_pipeline, save_all_model_epochs)
+        save_checkpoint(
+            out_dir, state, epoch, make_pipeline, save_all_model_epochs, async_save=async_ckpt
+        )
         last_saved_step = global_step
 
     cur_epoch = start_epoch
@@ -207,4 +210,10 @@ def train_loop(
                     checkpoint(cur_epoch)
                 except Exception:
                     Log.error("final checkpoint failed:\n" + traceback.format_exc())
+        # --async_ckpt: the last save's commit + deferred data.json must be
+        # on disk before the loop returns (no-op in sync mode)
+        try:
+            finish_async_saves()
+        except Exception:
+            Log.error("async checkpoint finalization failed:\n" + traceback.format_exc())
     return state, global_step

@@ -121,6 +121,44 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored2.step) == 2
 
 
+def test_async_checkpoint_roundtrip(tmp_path):
+    """--async_ckpt semantics: the orbax write overlaps the caller; data.json
+    is DEFERRED until the commit is known complete (finish_async_saves or the
+    next save), so resume can never see metadata ahead of committed arrays."""
+    import os
+
+    from baddiffusion_tpu.training.checkpoint import finish_async_saves, has_trainer_state
+
+    model, state, step, dsl, _ = make_bits()
+    batch = next(dsl.epoch_batches(0))
+    state, _ = step(state, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(0))
+
+    out = str(tmp_path / "run")
+    save_trainer_state(out, jax.device_get(state), epoch=1, async_save=True)
+    # metadata publication is deferred: until the commit is finalized, resume
+    # must not consider this checkpoint complete
+    assert not os.path.exists(os.path.join(out, "data.json"))
+    finish_async_saves()
+    assert has_trainer_state(out)
+
+    _, template, _, _, _ = make_bits()
+    restored, epoch, gstep = load_trainer_state(out, jax.device_get(template))
+    assert epoch == 1 and gstep == 1
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+
+    # a second async save to the same path waits for the first and publishes
+    # the new metadata on finish; a trailing SYNC save must also be safe
+    # (it finalizes any in-flight async commit before force-overwriting)
+    restored, _ = step(restored, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(1))
+    save_trainer_state(out, jax.device_get(restored), epoch=2, async_save=True)
+    save_trainer_state(out, jax.device_get(restored), epoch=3)
+    restored2, epoch2, gstep2 = load_trainer_state(out, jax.device_get(template))
+    assert epoch2 == 3 and gstep2 == 2
+
+
 def test_global_batch_from_host_shards():
     from baddiffusion_tpu.parallel import global_batch_from_host_shards, host_shard_slice, make_mesh
 
