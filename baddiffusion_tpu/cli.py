@@ -391,10 +391,15 @@ def run_measure(config: TrainingConfig, dsl: Optional[DatasetLoader] = None, res
         recomp_backdoor = True
 
     if shard_count > 1:
-        # all shards' PNGs must be on disk before process 0 scores the dirs
+        # all shards' PNGs must be on disk before process 0 scores the dirs.
+        # The timeout must cover cross-process COMPILE skew on the sampling
+        # program (one process hitting the persistent cache while a peer
+        # cold-compiles the 1000-step scan — observed >9 min at 256px), not
+        # just the sampling-time imbalance, so it sits far above barrier()'s
+        # generic 600 s.
         from baddiffusion_tpu.parallel.distributed import barrier
 
-        barrier("measure_sampled")
+        barrier("measure_sampled", timeout_s=3600.0)
         if shard_index != 0:
             Log.info(f"process {shard_index}: sampling shard done; metrics run on process 0")
             return

@@ -159,6 +159,42 @@ def test_async_checkpoint_roundtrip(tmp_path):
     assert epoch2 == 3 and gstep2 == 2
 
 
+def test_async_ckpt_multiprocess_falls_back(monkeypatch, tmp_path):
+    """On a multi-process launch async_save must degrade to the proven
+    barrier-coupled SYNC path (orbax commit + immediate data.json) — the
+    async deferral is single-process-only by design. Only the ROUTING is
+    under test (via recording stubs): real 2-process saves are covered by
+    tests/test_multihost.py."""
+    import json
+    import os
+
+    from baddiffusion_tpu.training import checkpoint as ckpt_mod
+
+    model, state, step, dsl, _ = make_bits()
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(ckpt_mod, "_barrier", lambda tag: None)
+
+    routes = []
+
+    class FakeSyncCkptr:
+        def save(self, path, state=None, force=False, args=None):
+            routes.append("sync")
+
+        def wait_until_finished(self):
+            pass
+
+    monkeypatch.setattr(ckpt_mod, "_checkpointer", FakeSyncCkptr)
+    monkeypatch.setattr(
+        ckpt_mod, "_async_checkpointer",
+        lambda: pytest.fail("async path must not be taken with process_count > 1"),
+    )
+    out = str(tmp_path / "run")
+    save_trainer_state(out, jax.device_get(state), epoch=5, async_save=True)
+    assert routes == ["sync"]
+    with open(os.path.join(out, "data.json")) as f:  # written synchronously
+        assert json.load(f) == {"epoch": 5, "step": 0}
+
+
 def test_global_batch_from_host_shards():
     from baddiffusion_tpu.parallel import global_batch_from_host_shards, host_shard_slice, make_mesh
 
