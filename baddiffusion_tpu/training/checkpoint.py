@@ -42,15 +42,24 @@ def _checkpointer():
 #
 # One process-wide AsyncCheckpointer: orbax copies the arrays to host
 # synchronously inside save() and commits the write on a background thread,
-# so training overlaps the disk write. data.json is DEFERRED: it is written
-# only once its save is known committed (at the next save, or at
-# finish_async_saves()). A crash inside the async window therefore leaves
-# data.json pointing at the PREVIOUS committed checkpoint — resume re-runs a
-# little more (the safe direction, and the reference's resume already re-runs
-# the saved epoch, baddiffusion.py:341,586) — never at arrays that were not
-# fully written.
+# so training overlaps the disk write. Two rules make a crash at ANY point
+# inside the async window recoverable:
+#   1. Each async save writes to a FRESH versioned dir (<out>/ckpt.v{N}) —
+#      never force-overwriting the live checkpoint. (orbax force=True deletes
+#      the destination up front and renames a tmp dir into place only at
+#      commit, so an in-place async overwrite would leave NO checkpoint on
+#      disk for the whole write — measured on orbax 0.11: the final path
+#      vanishes until wait_until_finished.)
+#   2. data.json (which names the committed dir via its "ckpt" key) is
+#      DEFERRED until the commit is known complete (the next save, or
+#      finish_async_saves()); superseded dirs are deleted only AFTER the new
+#      metadata is published.
+# A crash inside the window therefore leaves data.json pointing at the
+# PREVIOUS committed, still-on-disk checkpoint — resume re-runs a little more
+# (the safe direction; the reference's resume already re-runs the saved
+# epoch, baddiffusion.py:341,586) — never at missing or half-written arrays.
 _async_ckptr = None
-_pending_meta: Optional[Tuple[str, int, int]] = None  # (out_dir, epoch, step)
+_pending_meta: Optional[Tuple[str, int, int, str]] = None  # (out_dir, epoch, step, subdir)
 
 
 def _async_checkpointer():
@@ -62,19 +71,59 @@ def _async_checkpointer():
     return _async_ckptr
 
 
-def _write_data_json(out_dir: str, epoch: int, step: int) -> None:
+def _write_data_json(out_dir: str, epoch: int, step: int, subdir: str = CKPT_SUBDIR) -> None:
     with open(os.path.join(out_dir, DATA_JSON), "w") as f:
-        json.dump({"epoch": int(epoch), "step": step}, f)
+        json.dump({"epoch": int(epoch), "step": step, "ckpt": subdir}, f)
+
+
+def _ckpt_subdir(out_dir: str) -> str:
+    """The checkpoint dir data.json points at ('ckpt' for sync saves and
+    checkpoints written before the versioned-async format)."""
+    try:
+        with open(os.path.join(out_dir, DATA_JSON)) as f:
+            return json.load(f).get("ckpt", CKPT_SUBDIR)
+    except (OSError, ValueError):
+        return CKPT_SUBDIR
+
+
+def _next_version_subdir(out_dir: str) -> str:
+    """A fresh ckpt.v{N} name — strictly above every version on disk, so a
+    resumed run can never force-overwrite the dir data.json references."""
+    versions = [-1]
+    prefix = CKPT_SUBDIR + ".v"
+    for name in os.listdir(out_dir):
+        if name.startswith(prefix) and name[len(prefix) :].isdigit():
+            versions.append(int(name[len(prefix) :]))
+    return f"{prefix}{max(versions) + 1}"
+
+
+def _gc_stale_ckpts(out_dir: str, keep: str) -> None:
+    """Delete superseded checkpoint dirs (plain 'ckpt' and 'ckpt.v*', incl.
+    unfinalized '*.orbax-checkpoint-tmp' leftovers) — call only AFTER
+    data.json names ``keep`` and no save is in flight."""
+    import shutil
+
+    for name in os.listdir(out_dir):
+        stale = name != keep and (
+            name == CKPT_SUBDIR
+            or name.startswith(CKPT_SUBDIR + ".v")
+            or name.startswith(CKPT_SUBDIR + ".orbax-checkpoint-tmp")
+        )
+        if stale:
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
 
 
 def finish_async_saves() -> None:
     """Block until any in-flight async checkpoint is committed, then publish
-    its deferred data.json. Safe to call when nothing is pending."""
+    its deferred data.json and delete the dirs it supersedes. Safe to call
+    when nothing is pending."""
     global _pending_meta
     if _async_ckptr is not None:
         _async_ckptr.wait_until_finished()
     if _pending_meta is not None:
-        _write_data_json(*_pending_meta)
+        out_dir, epoch, step, subdir = _pending_meta
+        _write_data_json(out_dir, epoch, step, subdir)
+        _gc_stale_ckpts(out_dir, keep=subdir)
         _pending_meta = None
 
 
@@ -138,12 +187,16 @@ def save_trainer_state(out_dir: str, state, epoch: int, async_save: bool = False
         ckptr = _async_checkpointer()
         finish_async_saves()  # previous save committed + its data.json out
         step = int(jax.device_get(state.step)) if hasattr(state, "step") else 0
-        ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
-        _pending_meta = (out_dir, int(epoch), step)
+        # fresh versioned dir: the live checkpoint (whatever data.json names)
+        # stays on disk untouched for the whole async window
+        subdir = _next_version_subdir(out_dir)
+        vpath = os.path.abspath(os.path.join(out_dir, subdir))
+        ckptr.save(vpath, args=ocp.args.StandardSave(state), force=True)
+        _pending_meta = (out_dir, int(epoch), step, subdir)
         return
     if _async_ckptr is not None:
-        # never let a sync save (force=True deletes the destination) race an
-        # in-flight async commit to the same path
+        # publish any in-flight async commit's metadata before the sync save
+        # supersedes it (and before GC below could see it as stale)
         finish_async_saves()
     ckptr = _checkpointer()
     try:
@@ -155,6 +208,9 @@ def save_trainer_state(out_dir: str, state, epoch: int, async_save: bool = False
     try:
         if _is_primary():
             _write_data_json(out_dir, epoch, step)
+            # versioned dirs from earlier async saves are now superseded by
+            # the committed-and-published <out>/ckpt
+            _gc_stale_ckpts(out_dir, keep=CKPT_SUBDIR)
     finally:
         _barrier("ckpt_done")
 
@@ -179,7 +235,11 @@ def load_trainer_state(out_dir: str, state_template) -> Tuple[Any, int, int]:
     into that sharding layout (multi-process-safe); a numpy template restores
     to host numpy as before.
     """
-    path = os.path.abspath(os.path.join(out_dir, CKPT_SUBDIR))
+    with open(os.path.join(out_dir, DATA_JSON)) as f:
+        data = json.load(f)
+    # data.json names the committed dir ('ckpt', or 'ckpt.v{N}' when the last
+    # committed save was async) — read it first, never assume the layout
+    path = os.path.abspath(os.path.join(out_dir, data.get("ckpt", CKPT_SUBDIR)))
     ckptr = _checkpointer()
     import orbax.checkpoint as ocp
 
@@ -189,8 +249,6 @@ def load_trainer_state(out_dir: str, state_template) -> Tuple[Any, int, int]:
         state = ckptr.restore(path, state_template)
     except TypeError:
         state = ckptr.restore(path, args=ocp.args.StandardRestore(state_template))
-    with open(os.path.join(out_dir, DATA_JSON)) as f:
-        data = json.load(f)
     return state, int(data["epoch"]), int(data["step"])
 
 
@@ -229,7 +287,7 @@ def save_checkpoint(
 
 def has_trainer_state(out_dir: str) -> bool:
     return os.path.exists(os.path.join(out_dir, DATA_JSON)) and os.path.isdir(
-        os.path.join(out_dir, CKPT_SUBDIR)
+        os.path.join(out_dir, _ckpt_subdir(out_dir))
     )
 
 

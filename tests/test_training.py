@@ -149,14 +149,28 @@ def test_async_checkpoint_roundtrip(tmp_path):
         np.asarray(jax.tree.leaves(state.params)[0]),
     )
 
-    # a second async save to the same path waits for the first and publishes
-    # the new metadata on finish; a trailing SYNC save must also be safe
-    # (it finalizes any in-flight async commit before force-overwriting)
+    # CRASH-WINDOW DURABILITY: while the second async save is in flight, the
+    # previously committed checkpoint must remain fully restorable — each
+    # async save goes to a fresh versioned dir, never force-overwriting the
+    # one data.json references (orbax force=True deletes the destination for
+    # the whole write window)
     restored, _ = step(restored, batch["image_u8"], batch["is_clean"], jax.random.PRNGKey(1))
     save_trainer_state(out, jax.device_get(restored), epoch=2, async_save=True)
+    crash_view, epoch_c, gstep_c = load_trainer_state(out, jax.device_get(template))
+    assert (epoch_c, gstep_c) == (1, 1)  # a crash here resumes from epoch 1
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(crash_view.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
+
+    # a trailing SYNC save finalizes the in-flight commit first, then its own
+    # publish supersedes everything; stale versioned dirs are GC'd only after
+    # the new metadata is out
     save_trainer_state(out, jax.device_get(restored), epoch=3)
     restored2, epoch2, gstep2 = load_trainer_state(out, jax.device_get(template))
     assert epoch2 == 3 and gstep2 == 2
+    leftovers = [n for n in os.listdir(out) if n.startswith("ckpt")]
+    assert leftovers == ["ckpt"], leftovers
 
 
 def test_async_ckpt_multiprocess_falls_back(monkeypatch, tmp_path):
@@ -192,7 +206,7 @@ def test_async_ckpt_multiprocess_falls_back(monkeypatch, tmp_path):
     save_trainer_state(out, jax.device_get(state), epoch=5, async_save=True)
     assert routes == ["sync"]
     with open(os.path.join(out, "data.json")) as f:  # written synchronously
-        assert json.load(f) == {"epoch": 5, "step": 0}
+        assert json.load(f) == {"epoch": 5, "step": 0, "ckpt": "ckpt"}
 
 
 def test_global_batch_from_host_shards():
