@@ -370,7 +370,7 @@ def test_final_checkpoint_skipped_when_already_saved(monkeypatch, tmp_path):
     calls = []
     monkeypatch.setattr(
         ckpt_mod, "save_checkpoint",
-        lambda out, state, epoch, mk, all_eps: calls.append(epoch),
+        lambda out, state, epoch, mk, all_eps, async_save=False: calls.append(epoch),
     )
 
     batch = {"image_u8": np.zeros((2, 8, 8, 3), np.uint8), "is_clean": np.ones((2,), bool)}
