@@ -129,9 +129,22 @@ def get_config(argv=None) -> ANPConfig:
         setattr(config, key, inherited)
     config.poison_rate = run_data.get("poison_rate", args_data.get("poison_rate"))
 
-    os.makedirs(config.output_dir, exist_ok=True)
-    with open(os.path.join(config.output_dir, "config.json"), "w") as f:
-        json.dump(dataclasses.asdict(config), f, indent=2, default=str)
+    # multi-process launches share one output dir: only process 0 creates it
+    # and writes config.json (concurrent same-file writes can tear it); peers
+    # wait on the launch-scoped run-dir approval — same discipline as the
+    # attack CLI (config.setup)
+    if jax.process_index() == 0:
+        os.makedirs(config.output_dir, exist_ok=True)
+        with open(os.path.join(config.output_dir, "config.json"), "w") as f:
+            json.dump(dataclasses.asdict(config), f, indent=2, default=str)
+        if jax.process_count() > 1:
+            from baddiffusion_tpu.config import _signal_run_dir_ready
+
+            _signal_run_dir_ready(config.output_dir)
+    else:
+        from baddiffusion_tpu.config import _wait_run_dir_ready
+
+        _wait_run_dir_ready(config.output_dir)
     return config
 
 
@@ -182,19 +195,11 @@ def measure(config: ANPConfig, pipeline, dsl, tracker, epoch: Optional[int] = No
 
 
 def main(argv=None):
-    if jax.process_count() > 1:
-        # the ANP recipe is small (5 epochs, measure_sample_n=128); it runs
-        # single-process over all local chips. The multi-process feed/eval
-        # discipline (host shard assembly, process-0 gating) is not wired
-        # here — fail loud rather than duplicate work per process. (The
-        # reference driver is single-process too, anp_util.py:130.) The
-        # guard must run BEFORE get_config, which mkdirs the shared output
-        # dir and writes config.json — N processes doing that concurrently
-        # can tear the file.
-        raise NotImplementedError(
-            "anp_cli is single-process (multi-chip within one process is "
-            "supported); launch it without jax.distributed"
-        )
+    # multi-process launches (jax.distributed) shard the ANP step's batch over
+    # the global mesh exactly like the attack trainer; eval gathers the tiny
+    # perturbation tree and runs on process 0 only. (The reference driver is
+    # single-process DataParallel, anp_util.py:130 — this is the pod-scale
+    # re-design the attack trainer already has.)
     config = get_config(argv)
     dsl = DatasetLoader(
         config.dataset, root=config.dataset_path, batch_size=config.batch,
@@ -205,20 +210,32 @@ def main(argv=None):
     dsl.prepare_dataset(mode=DatasetLoader.MODE_FIXED)
 
     model, params, scheduler, get_pipeline = factory.get_trained(config.ckpt, clip_sample=config.clip)
+    multiproc = jax.process_count() > 1
+    # every process loads the checkpoint from the shared filesystem, so this
+    # host tree is identical on all of them — kept for process-0-local eval
+    # in the multi-process path (eval never needs a cross-process program)
+    params_host = params
     # pin the frozen base params on device ONCE: passing the host pytree into
     # the jitted step re-uploads ~0.5 GB every iteration, which over the TPU
     # tunnel dominates the step (measured 12-20 s/step on the 113.7M model vs
     # ~0.1 s with device-resident params) — same fix as the sampling path.
     # On a multi-chip mesh, pin in the REPLICATED mesh layout the jitted step
     # consumes, or the uncommitted single-device tree would re-broadcast over
-    # ICI every step.
+    # ICI every step. put_global (not device_put) avoids the per-leaf Gloo
+    # allgather equality check on multi-process placements (parallel/mesh.py).
     from baddiffusion_tpu.parallel import make_mesh
+    from baddiffusion_tpu.parallel.mesh import put_global, replicated
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        if multiproc:
+            # establish collective cliques while processes are aligned
+            # (same skew-proofing as cli.run_train)
+            from baddiffusion_tpu.parallel.distributed import warmup_mesh_collectives
 
-        params = jax.device_put(params, NamedSharding(mesh, P()))
+            warmup_mesh_collectives(mesh)
+        repl = replicated(mesh)
+        params = jax.tree.map(lambda x: put_global(x, repl), params)
     else:
         params = jax.device_put(params)
     sstate = scheduler.create_state()
@@ -239,26 +256,72 @@ def main(argv=None):
         perturb_budget=config.perturb_budget,
         mesh=mesh,
     )
+    if multiproc:
+        # AOT-compile + barrier before the first execution (unbounded compile
+        # skew would run one process into its peers' collective timeout) —
+        # same entry discipline as train_loop
+        from baddiffusion_tpu.parallel.distributed import AlignedStep
+
+        step_fn = AlignedStep(step_fn, tag="anp_step")
 
     import jax.numpy as jnp
 
     trigger = jnp.asarray(dsl.trigger)
     target = jnp.asarray(dsl.target)
     mask = jnp.asarray(dsl.mask)
+    if mesh is not None:
+        # seed-derived identically everywhere; placed once, no rendezvous
+        perturb = jax.tree.map(lambda x: put_global(x, repl), perturb)
+        opt_state = jax.tree.map(
+            lambda x: put_global(x, repl) if hasattr(x, "shape") else x, opt_state
+        )
+        trigger, target, mask = (put_global(x, repl) for x in (trigger, target, mask))
 
     def make_pipe(pt):
         # merge on device: params are device-resident and apply_perturb is
-        # pure jnp, so the pipeline weights never round-trip through the host
-        merged = apply_perturb(params, pt)
+        # pure jnp, so the pipeline weights never round-trip through the host.
+        # Multi-process: pt arrives as a HOST tree (gathered) and the merge
+        # runs against the host param copy on process 0's LOCAL devices —
+        # eval never needs a cross-process program.
+        merged = apply_perturb(params_host if multiproc else params, pt)
         pipe = get_pipeline(merged, scheduler)
         # the ANP OPTIMIZATION runs mixed-precision (reference trains under
         # an fp16 autocast, anp_config fp16 default) but its per-epoch
         # sampling/measure uses the unwrapped fp32 model — override the
         # model's bf16 compute for eval unless bf16 eval was opted into
         pipe.compute_dtype = jnp.bfloat16 if config.eval_dtype == "bf16" else jnp.float32
-        if mesh is not None:
+        if multiproc:
+            if len(jax.local_devices()) > 1:
+                pipe.mesh = make_mesh(devices=jax.local_devices())
+        elif mesh is not None:
             pipe.mesh = mesh  # per-epoch measure/grids sample data-parallel
         return pipe
+
+    def eval_perturb():
+        """Host copy of the perturbation for eval. Multi-process: EVERY
+        process joins the gather collective; the returned host tree is then
+        consumed on process 0 only."""
+        if not multiproc:
+            return perturb
+        from baddiffusion_tpu.training.checkpoint import gather_tree_to_host
+
+        return gather_tree_to_host(perturb)
+
+    def to_global(batch):
+        """Assemble this host's shard of the (seed-identical) global batch
+        into a mesh-wide array — the trainer's multi-host feed recipe."""
+        if not multiproc:
+            return batch
+        from baddiffusion_tpu.parallel.distributed import (
+            global_batch_from_host_shards,
+            host_shard_slice,
+        )
+
+        sl = host_shard_slice(batch["image_u8"].shape[0])
+        local = {k: batch[k][sl] for k in ("image_u8", "is_clean")}
+        return global_batch_from_host_shards(local, mesh)
+
+    is_primary = jax.process_index() == 0
 
     tracker = Tracker(os.path.join(config.output_dir, "logs"), project=config.project,
                       run_name=os.path.basename(config.output_dir))
@@ -267,38 +330,50 @@ def main(argv=None):
     last_measure = None
     for epoch in range(config.epoch):
         for batch in dsl.epoch_batches(epoch):
+            gb = to_global(batch)
             key = jax.random.fold_in(base_key, gstep)
             perturb, opt_state, metrics = step_fn(
-                params, perturb, opt_state, batch["image_u8"], batch["is_clean"],
+                params, perturb, opt_state, gb["image_u8"], gb["is_clean"],
                 trigger, target, mask, key,
             )
             logs = {k: float(jax.device_get(v)) for k, v in metrics.items()}
             logs.update({"epoch": epoch, "step": gstep, "lr": float(lr_schedule(gstep))})
-            tracker.log(logs, step=gstep)
+            if is_primary:
+                tracker.log(logs, step=gstep)
             gstep += 1
         if (epoch + 1) % config.save_image_epochs == 0:
-            pipe = make_pipe(perturb)
-            sample_grids(pipe, dsl.trigger, config.output_dir, epoch,
-                         sample_n=config.eval_sample_n, num_inference_steps=config.sampling_steps,
-                         seed=config.seed)
-            last_measure = (epoch, measure(config, pipe, dsl, tracker, epoch=epoch))
+            pt = eval_perturb()  # collective: every process joins
+            if is_primary:
+                pipe = make_pipe(pt)
+                sample_grids(pipe, dsl.trigger, config.output_dir, epoch,
+                             sample_n=config.eval_sample_n, num_inference_steps=config.sampling_steps,
+                             seed=config.seed)
+                last_measure = (epoch, measure(config, pipe, dsl, tracker, epoch=epoch))
 
     Log.info("Save model and sample images")
-    pipe = make_pipe(perturb)
-    pipe.save_pretrained(config.output_dir)
-    sample_grids(pipe, dsl.trigger, config.output_dir, "final",
-                 sample_n=config.eval_sample_n, num_inference_steps=config.sampling_steps,
-                 seed=config.seed)
-    if last_measure is not None and last_measure[0] == config.epoch - 1:
-        # the last per-epoch measure already sampled this exact (perturb,
-        # seed, ep) — deterministic, so re-sampling 128×1000 steps would
-        # reproduce the identical scores; just record them under the bare
-        # MSE/SSIM keys the final pass exists to write
-        mse_sc, ssim_sc = last_measure[1]
-        sc = update_score_file(config, mse_sc, ssim_sc, epoch=None)
-        tracker.log(dict(sc), step=dsl.num_batch * config.epoch)
-    else:
-        measure(config, pipe, dsl, tracker, epoch=None)
+    pt = eval_perturb()
+    if is_primary:
+        pipe = make_pipe(pt)
+        pipe.save_pretrained(config.output_dir)
+        sample_grids(pipe, dsl.trigger, config.output_dir, "final",
+                     sample_n=config.eval_sample_n, num_inference_steps=config.sampling_steps,
+                     seed=config.seed)
+        if last_measure is not None and last_measure[0] == config.epoch - 1:
+            # the last per-epoch measure already sampled this exact (perturb,
+            # seed, ep) — deterministic, so re-sampling 128×1000 steps would
+            # reproduce the identical scores; just record them under the bare
+            # MSE/SSIM keys the final pass exists to write
+            mse_sc, ssim_sc = last_measure[1]
+            sc = update_score_file(config, mse_sc, ssim_sc, epoch=None)
+            tracker.log(dict(sc), step=dsl.num_batch * config.epoch)
+        else:
+            measure(config, pipe, dsl, tracker, epoch=None)
+    if multiproc:
+        # peers must not exit while process 0 is still sampling/writing —
+        # an exiting process tears down the distributed client mid-launch
+        from baddiffusion_tpu.parallel.distributed import barrier
+
+        barrier("anp_done", timeout_s=3600.0)
     tracker.close()
 
 

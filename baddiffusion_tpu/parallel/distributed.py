@@ -159,6 +159,14 @@ def warmup_mesh_collectives(mesh) -> None:
     sizes = tuple(mesh.shape[a] for a in mesh.axis_names)
     if int(np.prod(sizes)) <= 1:
         return
+    if jax.process_count() > 1:
+        # align processes IMMEDIATELY before creating the Gloo contexts: the
+        # callers sit after dataset decode + model-init compiles, and on an
+        # oversubscribed host that skew alone can exceed Gloo's hard ~30 s
+        # context key-exchange deadline (observed live in the 2-process ANP
+        # test under a concurrent TPU run). The coordination-service barrier
+        # has no such limit, shrinking the vulnerable window to sub-second.
+        barrier("warmup_mesh_collectives", timeout_s=3600.0)
     full = P(*mesh.axis_names)
     x = put_global(np.zeros(sizes, np.float32), NamedSharding(mesh, full))
     for axis in mesh.axis_names:

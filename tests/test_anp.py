@@ -61,22 +61,52 @@ def test_perturb_matches_degenerate_bn():
     np.testing.assert_allclose(np.asarray(y_merged), np.asarray(y_direct), atol=1e-5)
 
 
-def test_anp_cli_rejects_multi_process(monkeypatch):
-    """anp_cli is single-process by design (reference parity: anp_util.py:130);
-    a pod launch must fail loud BEFORE get_config's side effects (shared-dir
-    mkdir + config.json write) instead of duplicating work per process."""
-    import pytest
+def test_anp_step_sharded_matches_single_device():
+    """The ANP step sharded over the data mesh computes the same update as
+    the unsharded step (the batch rows are independent; grads psum-reduce) —
+    the pod-scale defense path (VERDICT r3 item 5; the attack trainer has the
+    same property via test_sharded_step_on_mesh)."""
+    from baddiffusion_tpu.parallel import make_mesh
+    from baddiffusion_tpu.parallel.mesh import put_global, replicated
 
-    from baddiffusion_tpu import anp_cli
+    model, params = setup_model()
+    sched = DDPMScheduler(DDPMConfig())
+    sstate = sched.create_state()
+    optimizer, _ = make_optimizer(5e-2, schedule="constant")
+    perturb = init_perturb(params)
+    rng = np.random.RandomState(0)
+    img = (rng.rand(8, 16, 16, 3) * 255).astype(np.uint8)
+    is_clean = np.zeros(8, bool)
+    trig = jnp.asarray(rng.randn(16, 16, 3).astype(np.float32))
+    tgt = jnp.asarray(rng.randn(16, 16, 3).astype(np.float32))
+    mask = jnp.ones((16, 16, 3), jnp.float32)
+    key = jax.random.PRNGKey(7)
 
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    def run(mesh):
+        pt, os_ = perturb, optimizer.init(perturb)
+        ps = params
+        t_, g_, m_ = trig, tgt, mask
+        if mesh is not None:
+            repl = replicated(mesh)
+            ps = jax.tree.map(lambda x: put_global(x, repl), ps)
+            pt = jax.tree.map(lambda x: put_global(x, repl), pt)
+            os_ = jax.tree.map(lambda x: put_global(x, repl) if hasattr(x, "shape") else x, os_)
+            t_, g_, m_ = (put_global(x, repl) for x in (t_, g_, m_))
+        step = make_anp_step(
+            model, optimizer, 1000, sstate.schedule.alphas, sstate.schedule.alphas_cumprod,
+            perturb_budget=4.0, mesh=mesh,
+        )
+        pt, os_, metrics = step(ps, pt, os_, img, is_clean, t_, g_, m_, key)
+        return jax.device_get(pt), float(jax.device_get(metrics["loss"]))
 
-    def _boom(argv=None):  # the guard must fire before config side effects
-        raise AssertionError("get_config must not run on a multi-process launch")
-
-    monkeypatch.setattr(anp_cli, "get_config", _boom)
-    with pytest.raises(NotImplementedError, match="single-process"):
-        anp_cli.main([])
+    pt_ref, loss_ref = run(None)
+    mesh = make_mesh(devices=jax.devices()[:4])
+    pt_sh, loss_sh = run(mesh)
+    assert abs(loss_ref - loss_sh) < 1e-5
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5),
+        pt_ref, pt_sh,
+    )
 
 
 def test_clip_budget():

@@ -212,3 +212,27 @@ class TestTwoProcessIntegration:
         with open(os.path.join(run_dir, "score.json")) as f:
             sc = json.load(f)
         assert np.isfinite(sc["MSE_noclip"]) and np.isfinite(sc["SSIM_noclip"]), sc
+
+    def test_two_process_anp_defense(self, tmp_path):
+        """The production anp_cli.main() in 2 processes (VERDICT r3 item 5):
+        the −clean-loss step's batch shards over the global mesh (AlignedStep
+        + put_global placement), per-epoch eval gathers the perturbation tree
+        and runs on process 0 only, score.json carries the ANP grammar."""
+        import json
+
+        out_dir = str(tmp_path / "anp_world")
+        os.makedirs(out_dir, exist_ok=True)
+        outs = _launch("anp", "replicated", out_dir)
+        marks = _marker_losses(outs, "MULTIHOST_ANP_OK")
+        assert len(marks) == 2 and "-1" in marks, outs
+        mse = [m for m in marks if m != "-1"]
+        assert len(mse) == 1 and np.isfinite(float(mse[0])), outs
+
+        anp_dir = os.path.join(
+            out_dir, "res_anp_2_lr0.0001_pb4.0_res_None_FAKE_ep1_c1.0_p0.25_BOX_8-CORNER"
+        )
+        with open(os.path.join(anp_dir, "score.json")) as f:
+            sc = json.load(f)
+        # per-epoch keys + best-tracking (reference anp_util.py:233-270)
+        assert "MSE_ep1" in sc and "MSE_best" in sc and "SSIM_best" in sc, sc
+        assert sc["MSE_best"] == min(v for k, v in sc.items() if k.startswith("MSE")), sc
