@@ -152,15 +152,24 @@ def multistep_state_init(state_cls, config):
     tables — reference scheduling_dpmsolver_multistep.py:141-168 et al.).
     ``state_cls`` supplies any extra fields via their defaults."""
     schedule = DiffusionSchedule.create(config)
-    acp = schedule.alphas_cumprod
-    alpha_t = jnp.sqrt(acp)
-    sigma_t = jnp.sqrt(1.0 - acp)
+    # derive in float64 on host, cast once: λ = ½(log ᾱ − log(1−ᾱ)) reaches
+    # ~−10 under squaredcos, and the solvers' exp(λ_s−λ_t) update coefficients
+    # amplify table rounding by up to ~α_s/α_t ≈ 1.6e3 on the first step —
+    # f32-computed logs cost several ulps there (measured 3e-2 final-sample
+    # error vs torch on squaredcos eps-mode chains; f64-derived tables are
+    # ≤0.5 ulp from truth). The torch reference derives these in f32
+    # (scheduling_dpmsolver_multistep.py:141-168); the residual gap is its
+    # own table rounding, bounded in tests/test_scheduler_fuzz.py.
+    acp = np.asarray(schedule.alphas_cumprod, np.float64)
+    alpha_t = np.sqrt(acp)
+    sigma_t = np.sqrt(1.0 - acp)
+    lambda_t = np.log(alpha_t) - np.log(sigma_t)
     T = config.num_train_timesteps
     return state_cls(
         schedule=schedule,
-        alpha_t=alpha_t,
-        sigma_t=sigma_t,
-        lambda_t=jnp.log(alpha_t) - jnp.log(sigma_t),
+        alpha_t=jnp.asarray(alpha_t, jnp.float32),
+        sigma_t=jnp.asarray(sigma_t, jnp.float32),
+        lambda_t=jnp.asarray(lambda_t, jnp.float32),
         timesteps=jnp.asarray(np.arange(T)[::-1].copy().astype(np.int32)),
         num_inference_steps=T,
     )

@@ -85,19 +85,7 @@ class UniPCMultistepScheduler(ConfigurableScheduler):
         return config
 
     def create_state(self) -> UniPCState:
-        schedule = DiffusionSchedule.create(self.config)
-        acp = schedule.alphas_cumprod
-        alpha_t = jnp.sqrt(acp)
-        sigma_t = jnp.sqrt(1.0 - acp)
-        T = self.config.num_train_timesteps
-        return UniPCState(
-            schedule=schedule,
-            alpha_t=alpha_t,
-            sigma_t=sigma_t,
-            lambda_t=jnp.log(alpha_t) - jnp.log(sigma_t),
-            timesteps=jnp.asarray(np.arange(T)[::-1].copy().astype(np.int32)),
-            num_inference_steps=T,
-        )
+        return multistep_state_init(UniPCState, self.config)
 
     def set_timesteps(self, state: UniPCState, num_inference_steps: int) -> UniPCState:
         T = self.config.num_train_timesteps
