@@ -78,6 +78,21 @@ def main():
         state, metrics = step(state, img, clean, jax.random.PRNGKey(i))
     jax.block_until_ready(metrics["loss"])
 
+    # measured (profiler-accounted) HBM traffic of the exact step timed below
+    # — the logical-bytes roofline from cost_analysis() over-counts traffic
+    # fusion never materializes; this is what the chip actually moved
+    from baddiffusion_tpu.utils.profiling import measure_hbm_traffic
+
+    def _one_train_step():
+        nonlocal state
+        state, m = step(state, img, clean, jax.random.PRNGKey(999))
+        jax.block_until_ready(m["loss"])
+
+    try:
+        hbm32 = measure_hbm_traffic(_one_train_step, steps=4)
+    except Exception:
+        hbm32 = {"hbm_gib_per_step": 0.0}
+
     # XLA's own cost model on the exact program timed below — feeds the
     # machine-readable MFU/roofline fields (method: examples/mfu_analysis.py;
     # v5e peaks: 197 bf16 TFLOP/s, 819 GB/s HBM)
@@ -115,6 +130,14 @@ def main():
     dt_samp = time.perf_counter() - t0
     sampling_imgs_per_sec = SAMPLING_BATCH / dt_samp
 
+    try:
+        hbm_samp = measure_hbm_traffic(
+            lambda: pipe(init=init, num_inference_steps=1000, key=jax.random.PRNGKey(9)),
+            steps=1,
+        )
+    except Exception:
+        hbm_samp = {"hbm_gib_per_step": 0.0}
+
     # sampling roofline: XLA's cost model counts the scan BODY once, not
     # x trip-count — scale by the 1000 steps (examples/mfu_analysis.py)
     try:
@@ -124,6 +147,50 @@ def main():
         samp_bytes = float(ca2.get("bytes accessed", 0.0)) * 1000
     except Exception:
         samp_flops = samp_bytes = 0.0
+
+    # 256px canonical step (reference baddiffusion.py:195-217 batch policy:
+    # global 64 as micro-batch 4 x grad-accum 16; remat measured off —
+    # DESIGN.md "Measured performance"). Guards the second headline shape
+    # against regression with machine-readable fields.
+    cfg256 = dataclasses.replace(DEFAULT_SCRATCH_CONFIG, sample_size=256)
+    model256 = UNet2DModel(cfg256, dtype=jnp.bfloat16)
+    params256 = jax.jit(lambda k: model256.init_params(k))(jax.random.PRNGKey(0))
+    dsl256 = DatasetLoader(DatasetLoader.FAKE, image_size=256, batch_size=64, fake_size=64)
+    dsl256.set_poison("BOX_14", "CORNER", poison_rate=0.1).prepare_dataset()
+    state256 = create_train_state(params256, optimizer, dsl256.trigger, dsl256.target, dsl256.mask)
+    step256 = make_train_step(
+        model256, optimizer, sched.config.num_train_timesteps,
+        sstate.schedule.alphas, sstate.schedule.alphas_cumprod,
+        grad_accum=16, use_remat=False,
+    )
+    b256 = next(dsl256.epoch_batches(0))
+    img256 = jax.device_put(b256["image_u8"])
+    clean256 = jax.device_put(b256["is_clean"])
+    for i in range(2):
+        state256, m256 = step256(state256, img256, clean256, jax.random.PRNGKey(i))
+    jax.block_until_ready(m256["loss"])
+    try:
+        ca256 = step256.lower(state256, img256, clean256, jax.random.PRNGKey(0)).compile().cost_analysis()
+        # cost model counts the accumulation scan body once, not x16
+        flops256 = float(ca256.get("flops", 0.0)) * 16
+        bytes256 = float(ca256.get("bytes accessed", 0.0)) * 16
+    except Exception:
+        flops256 = bytes256 = 0.0
+    best256 = float("inf")
+    for w in range(2):
+        t0 = time.perf_counter()
+        for i in range(5):
+            state256, m256 = step256(state256, img256, clean256, jax.random.PRNGKey(200 + w * 5 + i))
+        jax.block_until_ready(m256["loss"])
+        best256 = min(best256, (time.perf_counter() - t0) / 5)
+    def _one_256_step():
+        nonlocal state256
+        state256, m = step256(state256, img256, clean256, jax.random.PRNGKey(998))
+        jax.block_until_ready(m["loss"])
+    try:
+        hbm256 = measure_hbm_traffic(_one_256_step, steps=2)
+    except Exception:
+        hbm256 = {"hbm_gib_per_step": 0.0}
 
     dt_step = best_dt / MEASURE_STEPS
     v5e_peak_flops, v5e_hbm = 197e12, 819e9
@@ -148,6 +215,34 @@ def main():
     if samp_flops:
         out["sampling_mfu_pct"] = round(samp_flops / dt_samp / v5e_peak_flops * 100, 1)
         out["sampling_hbm_util_pct"] = round(samp_bytes / dt_samp / v5e_hbm * 100, 1)
+
+    # 256px canonical fields (micro-batch 4 x accum 16, global 64)
+    out["train256_samples_per_sec"] = round(64 / best256, 2)
+    out["train256_step_ms"] = round(best256 * 1e3, 1)
+    if flops256:
+        out["train256_mfu_pct"] = round(flops256 / best256 / v5e_peak_flops * 100, 1)
+        out["train256_hbm_util_pct"] = round(bytes256 / best256 / v5e_hbm * 100, 1)
+        out["train256_step_gflop"] = round(flops256 / 1e9, 1)
+
+    # measured (profiler-accounted) HBM traffic vs the logical cost-model
+    # bytes above: *_hbm_util_pct >100% means fusion eliminated logical
+    # traffic; *_hbm_measured_util_pct is the chip's actual DRAM stream
+    # against the 819 GB/s roof over the measured wall step time
+    for tag, h, wall in (
+        ("train", hbm32, dt_step),
+        ("train256", hbm256, best256),
+        ("sampling", hbm_samp, dt_samp),
+    ):
+        if h.get("hbm_gib_per_step"):
+            out[f"{tag}_hbm_measured_gib"] = round(h["hbm_gib_per_step"], 2)
+            out[f"{tag}_hbm_measured_util_pct"] = round(
+                h["hbm_bytes_per_step"] / wall / v5e_hbm * 100, 1
+            )
+            # device-busy time vs wall separates chip-side limits from
+            # host/dispatch gaps (the axon tunnel adds per-dispatch latency);
+            # hbm_gbps_busy is the DRAM rate the chip sustained WHILE busy
+            out[f"{tag}_device_ms"] = round(h["device_time_ms_per_step"], 2)
+            out[f"{tag}_hbm_gbps_busy"] = round(h["hbm_gbps_busy"], 1)
     print(json.dumps(out))
 
 

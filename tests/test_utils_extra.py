@@ -142,3 +142,24 @@ class TestEMAParityVsReference:
 
     def test_low_max_decay(self):
         self._run_pair(8, max_decay=0.5)
+
+
+def test_measure_hbm_traffic_cpu_contract():
+    """measure_hbm_traffic returns honest zeros when the platform produces no
+    TPU device plane (tests run on CPU) — the bench/roofline consumers key on
+    hbm_gib_per_step being truthy, so a CPU run must not fabricate traffic."""
+    import jax
+    import jax.numpy as jnp
+
+    from baddiffusion_tpu.utils.profiling import measure_hbm_traffic
+
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones((64, 64))
+    f(x).block_until_ready()
+    stats = measure_hbm_traffic(lambda: f(x).block_until_ready(), steps=2)
+    assert set(stats) >= {
+        "hbm_gib_per_step", "hbm_bytes_per_step", "device_time_ms_per_step",
+        "hbm_gbps_busy", "measured_flops_per_step",
+    }
+    assert stats["hbm_gib_per_step"] == 0.0
+    assert stats["hbm_gbps_busy"] == 0.0
