@@ -68,8 +68,30 @@ class LDMPipeline:
         return img / scaling_factor if scaling_factor is not None else img
 
     def sample_shape(self, batch_size: int):
+        """PIXEL-space init shape (the VQ's sample size), so the measure /
+        sampling drivers can stamp the pixel-space trigger onto the init
+        noise exactly like the non-latent pipelines (cli.run_measure,
+        trainer.sample_grids). The reference's LDM pipeline only accepts
+        latent-shaped ``init`` (pipeline_latent_diffusion_uncond.py:104-112),
+        which makes its own `measure`/`sampling` paths shape-incoherent for
+        LDM (trigger is dataset-sized, latents are 4x smaller) — the alias
+        was never runnable end-to-end there. Here pixel-shaped init is
+        encoded to latents by the VQ encoder inside ``__call__``;
+        latent-shaped init keeps the reference contract verbatim."""
+        cfg = self.vqvae.config
+        return (batch_size, cfg.sample_size, cfg.sample_size, cfg.in_channels)
+
+    def latent_shape(self, batch_size: int):
         cfg = self.unet.config
         return (batch_size, cfg.sample_size, cfg.sample_size, cfg.in_channels)
+
+    def _encode_fn(self):
+        if "_encode" not in self._jit_cache:
+            vq = self.vqvae
+            self._jit_cache["_encode"] = jax.jit(
+                lambda p, x: vq.apply({"params": p}, x, method=vq.encode)
+            )
+        return self._jit_cache["_encode"]
 
     def _sample_fn(self, batch_size: int, num_inference_steps: int, capture_every):
         cast = self.compute_dtype
@@ -132,11 +154,18 @@ class LDMPipeline:
         if not save_every_step:
             capture_every = None
         if init is None:
+            # reference contract: no-init sampling draws LATENT noise directly
+            # (pipeline_latent_diffusion_uncond.py:104-109)
             key, sub = jax.random.split(key)
-            init = jax.random.normal(sub, self.sample_shape(batch_size), jnp.float32)
+            init = jax.random.normal(sub, self.latent_shape(batch_size), jnp.float32)
         else:
             init = jnp.asarray(init, jnp.float32)
             batch_size = init.shape[0]
+            vq_size = self.vqvae.config.sample_size
+            if init.shape[1] == vq_size and vq_size != self.unet.config.sample_size:
+                # pixel-space init (noise + trigger from the eval drivers):
+                # encode to latents — see sample_shape docstring
+                init = self._encode_fn()(self.vqvae_params, init)
         # a sharded batch must divide the data axis: pad with copies of row 0
         # and trim after (same contract as DiffusionPipeline.__call__)
         init, pad = pad_batch_for_mesh(init, self.mesh)

@@ -29,6 +29,10 @@ SPECS = {
     "CIFAR10": ("img", 32, 3, True, 4096),
     "MNIST": ("image", 28, 1, True, 4096),
     "CELEBA-HQ": ("image", 256, 3, False, 256),
+    # reference loads student/celebA (178x218 JPEGs) and resizes to 64
+    # (dataset.py:86-87,111-112); staged at a non-64 size so the production
+    # resize path really executes
+    "CELEBA": ("image", 96, 3, False, 2048),
 }
 
 

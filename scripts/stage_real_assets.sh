@@ -49,11 +49,19 @@ for repo in ("google--ddpm-cifar10-32", "google--ddpm-ema-celebahq-256"):
     if not ok_weights:
         missing.append(f"  {d}/unet/diffusion_pytorch_model.(bin|safetensors)  (UNet weights)")
     need(os.path.join(d, "scheduler", "scheduler_config.json"), "scheduler config")
-for name in ("CIFAR10", "MNIST", "CELEBA-HQ"):
+for name in ("CIFAR10", "MNIST", "CELEBA-HQ", "CELEBA"):
     d = os.path.join(root, "datasets", name)
     if not (os.path.exists(os.path.join(d, "dataset_info.json"))
             or os.path.exists(os.path.join(d, "dataset_dict.json"))):
         missing.append(f"  {d}  (save_to_disk dataset dir)")
+# LDM checkpoint (CompVis layout: vqvae/ + unet/ + scheduler/); the synthetic
+# stand-in from examples/stage_fake_ldm.py has the identical layout, so the
+# real weights drop in with no code changes (reference model.py:711 alias)
+ldm = os.path.join(root, "ckpts", "CompVis--ldm-celebahq-256")
+need(os.path.join(ldm, "model_index.json"), "LDM pipeline index")
+need(os.path.join(ldm, "vqvae", "config.json"), "VQ-VAE config")
+need(os.path.join(ldm, "unet", "config.json"), "LDM UNet config")
+need(os.path.join(ldm, "scheduler", "scheduler_config.json"), "LDM scheduler config")
 # optional staged-only datasets (data/datasets.py LSUN path)
 for name in ("LSUN-CHURCH", "LSUN-BEDROOM"):
     d = os.path.join(root, "datasets", name)
@@ -84,7 +92,7 @@ export BADDIFFUSION_FID_WEIGHTS="$ASSETS/pt_inception-2015-12-05-6726825d.pth"
 # 2. Hub checkpoints (HF layout: model_index.json + unet/ + scheduler/).
 #    Enables: RUN_SLOW=1 tests/test_real_checkpoints.py (golden-slice parity,
 #    diffusers/tests/pipelines/ddpm/test_ddpm.py:111-112) and --ckpt aliases.
-for repo in google/ddpm-cifar10-32 google/ddpm-ema-celebahq-256; do
+for repo in google/ddpm-cifar10-32 google/ddpm-ema-celebahq-256 CompVis/ldm-celebahq-256; do
   dir="$ASSETS/ckpts/${repo/\//--}"
   python - "$repo" "$dir" <<'EOF'
 import sys
@@ -104,7 +112,8 @@ python - "$ASSETS/datasets" <<'EOF'
 import sys
 import datasets as hfds
 root = sys.argv[1]
-for name, hf in (("CIFAR10", "cifar10"), ("MNIST", "mnist"), ("CELEBA-HQ", "huggan/CelebA-HQ")):
+for name, hf in (("CIFAR10", "cifar10"), ("MNIST", "mnist"),
+                 ("CELEBA-HQ", "huggan/CelebA-HQ"), ("CELEBA", "student/celebA")):
     ds = hfds.load_dataset(hf)
     ds.save_to_disk(f"{root}/{name}")
 EOF

@@ -139,6 +139,25 @@ class TestLDMPipeline:
         b = loaded(batch_size=1, key=k, num_inference_steps=3).images
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_pixel_init_encodes_to_latents(self):
+        """sample_shape is PIXEL space and a pixel-shaped init (noise +
+        trigger from the eval drivers) is VQ-encoded before the latent chain
+        — the documented deviation that makes LDM measure/sampling
+        shape-coherent (the reference's latent-only init contract cannot run
+        its own eval paths on LDM; see LDMPipeline.sample_shape)."""
+        pipe = make_ldm()
+        assert pipe.sample_shape(2) == (2, 16, 16, 3)
+        assert pipe.latent_shape(2) == (2, 8, 8, 3)
+        k = jax.random.PRNGKey(0)
+        pix = np.asarray(jax.random.normal(k, (2, 16, 16, 3), jnp.float32))
+        out = pipe(init=pix, key=k, num_inference_steps=4)
+        assert out.images.shape == (2, 16, 16, 3)
+        # the chain must have consumed exactly encode(pix): a manual
+        # encode → latent-init run reproduces the pixel-init run
+        lat = np.asarray(pipe.encode(jnp.asarray(pix)))
+        out2 = pipe(init=lat, key=k, num_inference_steps=4)
+        np.testing.assert_allclose(out.images, out2.images, atol=1e-6)
+
     def test_mesh_sharded_sampling_matches_single_device(self):
         """LDM honors pipeline.mesh like DiffusionPipeline (the eval/measure
         CLI sets it on ANY pipeline type): latent batch shards over 'data',
