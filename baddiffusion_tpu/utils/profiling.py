@@ -29,7 +29,7 @@ from typing import Callable, Dict, Optional
 
 import jax
 
-__all__ = ["measure_hbm_traffic", "xplane_hbm_bytes"]
+__all__ = ["measure_hbm_traffic", "xplane_hbm_bytes", "hbm_top_ops"]
 
 
 def _find_xplanes(trace_dir: str):
@@ -71,6 +71,42 @@ def xplane_hbm_bytes(xplane_path: str) -> Dict[str, float]:
         "device_time_ps": float(m.get("rawTime", 0.0)),
         "flops": float(m.get("rawFlops", 0.0)),
     }
+
+
+def hbm_top_ops(trace_dir: str, k: int = 25):
+    """Leaf ops of the op_profile tree sorted by HBM bytes, from a trace dir
+    produced by ``measure_hbm_traffic`` (it returns ``trace_dir``). Each row:
+    (name, hbm_bytes, time_ps, flops). Use to find WHERE per-step DRAM
+    traffic goes when a path sits high on the measured HBM roofline."""
+    import json
+
+    from xprof.convert import raw_to_tool_data
+
+    rows = []
+
+    def walk(node):
+        kids = node.get("children") or []
+        m = node.get("metrics") or {}
+        if not kids:
+            arr = m.get("rawBytesAccessedArray") or [0.0]
+            rows.append((
+                node.get("name", "?"), float(arr[0]),
+                float(m.get("rawTime", 0.0)), float(m.get("rawFlops", 0.0)),
+            ))
+        for c in kids:
+            walk(c)
+
+    for xp in _find_xplanes(trace_dir):
+        data = raw_to_tool_data.xspace_to_tool_data([xp], "op_profile", {})
+        if isinstance(data, tuple):
+            data = data[0]
+        if isinstance(data, bytes):
+            data = data.decode()
+        d = json.loads(data)
+        root = d.get("byCategoryExcludeIdle") or d.get("byProgramExcludeIdle") or {}
+        walk(root)
+    rows.sort(key=lambda r: -r[1])
+    return rows[:k]
 
 
 def measure_hbm_traffic(
