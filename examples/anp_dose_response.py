@@ -80,6 +80,42 @@ def main():
             json.dump(table, f, indent=2, sort_keys=True)
         print(f"[anp-sweep] budget {key}: {table[key]}", flush=True)
 
+    # clean-quality side of the dose-response curve: each ANP run dir holds
+    # the PERTURBED pipeline export (anp_cli saves it at the end); sample the
+    # clean branch and score FID against the measure dump of the real images
+    # (the reference's ANP loop never quantifies this side — MSE/SSIM vs the
+    # target only, anp_util.py:233-270 — but 'budget destroys the backdoor'
+    # is only half the trade-off)
+    import numpy as np
+
+    from baddiffusion_tpu import factory
+    from baddiffusion_tpu.metrics.fid import fid as fid_fn
+    from baddiffusion_tpu.utils.image import save_images
+
+    with open(os.path.join(args.ckpt, "args.json")) as f:
+        dataset = json.load(f)["dataset"] or "CIFAR10"
+    dataset_dir = os.path.join("measure", dataset)
+    for key, row in sorted(table.items(), key=lambda kv: float(kv[0])):
+        if "clean_FID_proxy" in row or not os.path.isdir(dataset_dir):
+            continue
+        import jax
+        import jax.numpy as jnp
+
+        _m, params, scheduler, get_pipe = factory.get_trained(
+            row["run_dir"], clip_sample=False, dtype=jnp.float32
+        )
+        pipe = get_pipe(params, scheduler)
+        pipe.compute_dtype = jnp.bfloat16 if args.eval_dtype == "bf16" else jnp.float32
+        k = jax.random.PRNGKey(0)
+        noise = np.asarray(jax.random.normal(k, pipe.sample_shape(args.n), np.float32))
+        imgs = pipe(init=noise, key=k, num_inference_steps=args.sampling_steps).images
+        d = os.path.join(row["run_dir"], "clean_fid_samples")
+        save_images(np.asarray(imgs), d)
+        row["clean_FID_proxy"] = float(fid_fn([dataset_dir, d]))
+        with open(args.out, "w") as f:
+            json.dump(table, f, indent=2, sort_keys=True)
+        print(f"[anp-sweep] budget {key}: clean_FID_proxy={row['clean_FID_proxy']:.2f}", flush=True)
+
     print(json.dumps(table, indent=2, sort_keys=True))
 
 
