@@ -102,6 +102,16 @@ def run_train(config: TrainingConfig, resume: bool = False):
     """Returns the DatasetLoader so train+measure reuses it instead of
     re-decoding/poison-splitting the whole dataset a second time."""
     dsl = get_data_loader(config)
+    if dsl.image_size >= 256 and 1 <= config.batch < 8:
+        # the reference README's 256px `--batch 4` is a GPU-memory artifact;
+        # on TPU that micro-batch explodes per-conv layout/copy traffic
+        # (measured 1462 vs 386 GiB/step) and runs the SAME global batch ~3x
+        # slower than --batch 8 (docs/DESIGN.md "Measured performance")
+        Log.warning(
+            f"TPU perf: micro-batch {config.batch} at {dsl.image_size}px runs "
+            "~3x slower than --batch 8 for the identical global batch; "
+            "see docs/DESIGN.md"
+        )
     model, params, scheduler, get_pipeline = init_model(config, dsl)
     sstate = scheduler.create_state()
 

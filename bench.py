@@ -155,6 +155,9 @@ def main():
     cfg256 = dataclasses.replace(DEFAULT_SCRATCH_CONFIG, sample_size=256)
     model256 = UNet2DModel(cfg256, dtype=jnp.bfloat16)
     params256 = jax.jit(lambda k: model256.init_params(k))(jax.random.PRNGKey(0))
+    # independent buffers for the tuned-config state below: the canonical
+    # step donates its state, consuming params256's underlying arrays
+    params256b = jax.tree.map(jnp.array, params256)
     dsl256 = DatasetLoader(DatasetLoader.FAKE, image_size=256, batch_size=64, fake_size=64)
     dsl256.set_poison("BOX_14", "CORNER", poison_rate=0.1).prepare_dataset()
     state256 = create_train_state(params256, optimizer, dsl256.trigger, dsl256.target, dsl256.mask)
@@ -192,6 +195,28 @@ def main():
     except Exception:
         hbm256 = {"hbm_gib_per_step": 0.0}
 
+    # TPU-tuned 256px configuration: same global batch 64 as micro-batch 8 x
+    # accum 8. The reference's micro-batch 4 is a GPU-memory artifact; on TPU
+    # it explodes layout/copy traffic (measured 1462 GiB/step vs 386) and runs
+    # 3x slower (round-4 sweep: micro 4/8/16 = 22.8/69.7/67.6 samples/s,
+    # micro >=32 OOMs without remat). Recipe guidance: pass --batch 8.
+    state256b = create_train_state(params256b, optimizer, dsl256.trigger, dsl256.target, dsl256.mask)
+    step256b = make_train_step(
+        model256, optimizer, sched.config.num_train_timesteps,
+        sstate.schedule.alphas, sstate.schedule.alphas_cumprod,
+        grad_accum=8, use_remat=False,
+    )
+    for i in range(2):
+        state256b, m256b = step256b(state256b, img256, clean256, jax.random.PRNGKey(i))
+    jax.block_until_ready(m256b["loss"])
+    best256b = float("inf")
+    for w in range(2):
+        t0 = time.perf_counter()
+        for i in range(5):
+            state256b, m256b = step256b(state256b, img256, clean256, jax.random.PRNGKey(300 + w * 5 + i))
+        jax.block_until_ready(m256b["loss"])
+        best256b = min(best256b, (time.perf_counter() - t0) / 5)
+
     dt_step = best_dt / MEASURE_STEPS
     v5e_peak_flops, v5e_hbm = 197e12, 819e9
     out = {
@@ -219,6 +244,11 @@ def main():
     # 256px canonical fields (micro-batch 4 x accum 16, global 64)
     out["train256_samples_per_sec"] = round(64 / best256, 2)
     out["train256_step_ms"] = round(best256 * 1e3, 1)
+    # TPU-tuned 256px config (micro-batch 8 x accum 8, same global 64)
+    out["train256_tuned_samples_per_sec"] = round(64 / best256b, 2)
+    out["train256_tuned_step_ms"] = round(best256b * 1e3, 1)
+    if flops256:
+        out["train256_tuned_mfu_pct"] = round(flops256 / best256b / v5e_peak_flops * 100, 1)
     if flops256:
         out["train256_mfu_pct"] = round(flops256 / best256 / v5e_peak_flops * 100, 1)
         out["train256_hbm_util_pct"] = round(bytes256 / best256 / v5e_hbm * 100, 1)

@@ -41,6 +41,13 @@ ACCUM = 16
 
 
 def build_step(model, optimizer, alphas, alphas_cumprod, variant: str):
+    """variant: 'scan' | 'scan_u4' | 'unrolled' | 'remat_full' | 'scan@K'
+    (scan with accum K, micro GLOBAL//K — same global-batch math; the
+    reference's micro-batch 4 is a GPU-memory artifact, not semantics)."""
+    global ACCUM
+    if variant.startswith("scan@"):
+        ACCUM = int(variant.split("@")[1])
+        variant = "scan"
     T = 1000
 
     def apply_plain(params, x, t):
@@ -138,7 +145,10 @@ def main():
     clean = jax.device_put(b["is_clean"])
 
     for variant in args.variants:
-        state = create_train_state(params, optimizer, dsl.trigger, dsl.target, dsl.mask)
+        # fresh param buffers per variant: step donates its state, so a
+        # previous variant's runs consumed the shared underlying arrays
+        params_i = jax.tree.map(jnp.array, params)
+        state = create_train_state(params_i, optimizer, dsl.trigger, dsl.target, dsl.mask)
         step = build_step(model, optimizer, jnp.asarray(sstate.schedule.alphas),
                           jnp.asarray(sstate.schedule.alphas_cumprod), variant)
         try:
