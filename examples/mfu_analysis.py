@@ -6,6 +6,13 @@ chip's peak (v5e ≈ 197 bf16 TFLOP/s) and HBM bandwidth utilization
 (v5e ≈ 819 GB/s). This pins where the measured samples/sec sits relative to
 speed-of-light, so perf work targets the true bottleneck.
 
+CAVEAT (round 4): the cost model's "bytes accessed" is LOGICAL pre-fusion
+traffic — it over-counts what the chip moves by ~3x on these steps (fusion
+eliminates most of it), so >100% "HBM utilization" here is an artifact, not
+saturation. The authoritative numbers are the PROFILER-measured fields in
+bench.py (``*_hbm_measured_*``, via utils/profiling.measure_hbm_traffic);
+see docs/DESIGN.md "Roofline position — measured" for the revised story.
+
 Usage: python examples/mfu_analysis.py [--measure]  (--measure also times it)
 """
 
