@@ -218,6 +218,8 @@ def run_train(config: TrainingConfig, resume: bool = False):
             # params to the replicated layout once per pipeline). Multi-
             # process keeps the gather-then-process-0 path in train_loop.
             pipe.mesh = mesh
+        if config.sample_segment:
+            pipe.segment_steps = config.sample_segment
         return pipe
 
     tracker = Tracker(
@@ -271,6 +273,9 @@ def load_pipeline_for_eval(config: TrainingConfig):
     pipeline = get_pipeline(params, scheduler)
     if config.eval_dtype == "bf16":
         pipeline.compute_dtype = jnp.bfloat16  # opt-in throughput mode (--eval_dtype bf16)
+    if config.sample_segment:
+        # bounded-length sampling programs (--sample_segment): identical math
+        pipeline.segment_steps = config.sample_segment
     if len(jax.local_devices()) > 1:
         # data-parallel sampling over every local chip: the 2048-image measure
         # shards its batch instead of serializing on one device (samples are

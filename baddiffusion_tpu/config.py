@@ -53,7 +53,7 @@ MODE_RESUME_OPTS = ["project", "mode", "gpu", "ckpt"]
 MODE_SAMPLING_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 MODE_MEASURE_OPTS = ["project", "mode", "eval_max_batch", "gpu", "fclip", "ckpt", "sample_ep", "sched"]
 IGNORE_ARGS = ["overwrite", "is_save_all_model_epochs"]
-EXTRA_OPTS = ["fake_size", "measure_sample_n", "measure_steps", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat", "param_sharding", "model_parallel", "capture_every", "image_size", "async_ckpt"]
+EXTRA_OPTS = ["fake_size", "measure_sample_n", "measure_steps", "sampling_steps", "profile_steps", "split_method", "eval_dtype", "remat", "param_sharding", "model_parallel", "capture_every", "image_size", "async_ckpt", "sample_segment"]
 
 SCHED_CHOICES = [
     "DDPM-SCHED", "DDIM-SCHED",
@@ -138,6 +138,11 @@ class TrainingConfig:
     # override the dataset-keyed image size (the reference hardcodes
     # 32/64/256 per dataset, dataset.py:105-118; None keeps those defaults)
     image_size: Optional[int] = None
+    # cap on sampling-chain steps per XLA program invocation (pipelines'
+    # segment_steps): identical math as bounded-length programs with
+    # device-resident carry, for environments where one multi-minute program
+    # is operationally fragile. None = whole chain as one program.
+    sample_segment: Optional[int] = None
     # inference steps for MEASURE sampling; None = each pipeline's default
     # (DDPM 1000, solver families 50 — reference measure never overrides)
     measure_steps: Optional[int] = None
@@ -214,6 +219,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="movie-frame stride (1 = reference's every-step trajectory; default ~50 frames)")
     parser.add_argument("--image_size", type=int,
                         help="override the dataset-keyed image size (default: 32/64/256 per dataset)")
+    parser.add_argument("--sample_segment", type=int,
+                        help="max sampling-chain steps per XLA program invocation "
+                        "(identical math; bounds program wall-time on fragile device links)")
     parser.add_argument("--profile_steps", type=int, help="write a jax.profiler trace of N train steps to <out>/profile")
     parser.add_argument("--async_ckpt", action="store_true", default=None,
                         help="overlap checkpoint disk writes with training (single-process)")

@@ -25,9 +25,12 @@ import numpy as np
 from baddiffusion_tpu.io import load_unet, save_unet
 from baddiffusion_tpu.pipelines.sampler import (
     cast_params,
+    chain_prologue,
+    chain_segment,
     dtype_cache_key,
     ensure_on_device,
     mesh_sample_shardings,
+    movie_frames_init,
     pad_batch_for_mesh,
     sample_loop,
     sample_sde_ve,
@@ -82,6 +85,12 @@ class DiffusionPipeline:
         # half the HBM bytes and the MXU runs at bf16 rate; the scheduler
         # update stays f32 either way.
         self.compute_dtype = compute_dtype
+        # Optional cap on chain steps per XLA program invocation (see
+        # _segment_fns): None runs the whole chain as one program (default);
+        # an int N re-runs one compiled N-step segment with device-resident
+        # carry — identical math, bounded program wall-time. CLI:
+        # --sample_segment.
+        self.segment_steps: Optional[int] = None
         self._jit_cache = {}
 
     # -- serialization (HF layout) ---------------------------------------------
@@ -115,6 +124,88 @@ class DiffusionPipeline:
         return latents
 
     # -- sampling ---------------------------------------------------------------
+    def _segment_fns(self, num_inference_steps: int, start_from: int, capture_every):
+        """Jitted (prologue, segment-runner-factory) for segmented sampling.
+
+        ``segment_steps`` bounds how many chain steps run per XLA program
+        invocation: the carried (sample, scheduler-state, key, frames) pytree
+        stays device-resident between invocations and the segment start index
+        is a TRACED scalar, so one compiled program serves every full-length
+        segment and the math is identical to the single-program scan (same
+        per-step ops, same PRNG split sequence — tested). Use it when a
+        single multi-minute program is operationally fragile (runtime/driver
+        hiccups kill the whole chain; observed with 1000-step 256px sampling
+        and SDE-VE's 2000-step chains over the device tunnel) — segmenting
+        turns that into bounded-length programs with restartable state. No
+        reference equivalent (its Python loop is per-step dispatch; this
+        keeps scan fusion within each segment)."""
+        cache_key = ("seg", num_inference_steps, start_from, capture_every,
+                     dtype_cache_key(self.compute_dtype), self.mesh)
+        if cache_key in self._jit_cache:
+            return self._jit_cache[cache_key]
+
+        scheduler = self.scheduler
+        state0 = scheduler.set_timesteps(scheduler.create_state(), num_inference_steps)
+        unet = self.unet
+        if self.compute_dtype is not None and self.compute_dtype != unet.dtype:
+            unet = type(self.unet)(self.unet.config, dtype=self.compute_dtype)
+        cast = self.compute_dtype
+        n = num_inference_steps
+        n_steps = n - start_from
+
+        def apply_fn(p, x, t):
+            return unet.apply({"params": p}, x, t).astype(x.dtype)
+
+        prolog_kw = {} if self.mesh is None else {
+            "in_shardings": mesh_sample_shardings(self.mesh, n_param_trees=0)
+        }
+
+        @partial(jax.jit, **prolog_kw)
+        def prolog(init, key):
+            sample, st = chain_prologue(scheduler, state0, init)
+            frames = None
+            if capture_every:
+                frames = movie_frames_init(n_steps, capture_every, init.shape, init.dtype)
+            return sample, st, frames, key
+
+        seg_cache = {}
+
+        def seg_run_for(seg_len: int):
+            if seg_len in seg_cache:
+                return seg_cache[seg_len]
+
+            @jax.jit
+            def seg_run(params, sample, st, key, frames, seg_start):
+                params = cast_params(params, cast)
+                return chain_segment(
+                    scheduler, apply_fn, params, sample, st, key,
+                    seg_start=seg_start, seg_len=seg_len, total_steps=n,
+                    chain_start=start_from, clip_each_step=self.clip_each_step,
+                    capture_every=capture_every, frames=frames,
+                )
+
+            seg_cache[seg_len] = seg_run
+            return seg_run
+
+        self._jit_cache[cache_key] = (prolog, seg_run_for)
+        return prolog, seg_run_for
+
+    def _run_segmented(self, init, key, num_inference_steps: int, start_from: int, capture_every):
+        prolog, seg_run_for = self._segment_fns(num_inference_steps, start_from, capture_every)
+        sample, st, frames, key = prolog(init, key)
+        n = num_inference_steps
+        seg = int(self.segment_steps)
+        s = start_from
+        while s < n:
+            length = min(seg, n - s)
+            sample, st, key, frames = seg_run_for(length)(
+                self.params, sample, st, key, frames, jnp.asarray(s, jnp.int32)
+            )
+            s += length
+        images = to_images(sample)
+        movie = None if frames is None else to_images(frames)
+        return images, movie
+
     def _sample_fn(self, batch_size: int, num_inference_steps: int, start_from: int, capture_every):
         # compute_dtype/mesh are mutable (load_pipeline_for_eval flips them
         # post-init), so they must participate in the cache key or a later
@@ -225,8 +316,12 @@ class DiffusionPipeline:
         # measured 15 -> 5 imgs/sec on v5e when params re-upload per chunk
         self.params = ensure_on_device(self.params, self.mesh)
 
-        run = self._sample_fn(batch_size + pad, n, start_from, capture_every)
-        images, movie = run(self.params, init, key)
+        special = self.scheduler.hf_class_name in ("ScoreSdeVeScheduler", "KarrasVeScheduler")
+        if self.segment_steps and not special and self.segment_steps < (n - start_from):
+            images, movie = self._run_segmented(init, key, n, start_from, capture_every)
+        else:
+            run = self._sample_fn(batch_size + pad, n, start_from, capture_every)
+            images, movie = run(self.params, init, key)
         images, movie = trim_padded(images, movie, batch_size)
         return PipelineOutput(images=images, movie=movie)
 

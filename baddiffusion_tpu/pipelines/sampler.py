@@ -26,6 +26,100 @@ import jax
 import jax.numpy as jnp
 
 
+def chain_prologue(scheduler, state, init: jnp.ndarray):
+    """Everything that happens ONCE before the reverse chain: init-noise
+    scaling (reference pipeline_ddpm.py:98 / score_sde_ve.py:75-79) and the
+    scheduler's begin-sampling hook. Returns ``(sample, state)``."""
+    init_sigma = getattr(scheduler, "init_noise_sigma", 1.0)
+    if callable(init_sigma):
+        init_sigma = init_sigma(state)
+    sample = init * jnp.asarray(init_sigma, init.dtype)
+    if hasattr(scheduler, "begin_sampling"):
+        state = scheduler.begin_sampling(state, sample)
+    return sample, state
+
+
+def make_step_once(scheduler, apply_fn: Callable, params, clip_each_step: Optional[float]):
+    """One reverse-diffusion step as a (sample, state, key, i) transition —
+    shared by the single-program chain and the segmented runner."""
+
+    def step_once(sample, st, k, i):
+        t = st.timesteps[i]
+        k, sub = jax.random.split(k)
+        model_in = scheduler.scale_model_input(st, sample, i)
+        eps = apply_fn(params, model_in, jnp.broadcast_to(t, (sample.shape[0],)))
+        st, sample, _x0 = scheduler.step(st, eps, i, sample, sub)
+        if clip_each_step is not None:
+            sample = jnp.clip(sample, -clip_each_step, clip_each_step)
+        # (the reference's clip_defense knob lives in DDPMConfig.clip_defense —
+        # applied inside DDPMScheduler.step — not here)
+        return sample, st, k
+
+    return step_once
+
+
+def chain_segment(
+    scheduler,
+    apply_fn: Callable,
+    params,
+    sample: jnp.ndarray,
+    state,
+    key: jax.Array,
+    seg_start,
+    seg_len: int,
+    total_steps: int,
+    chain_start: int = 0,
+    clip_each_step: Optional[float] = None,
+    capture_every: Optional[int] = None,
+    frames: Optional[jnp.ndarray] = None,
+):
+    """``seg_len`` chain steps starting at step index ``seg_start`` (may be a
+    traced scalar, so ONE compiled program serves every full-length segment).
+    ``total_steps``/``chain_start`` are the static bounds of the whole chain
+    (frame-slot math and the final-frame guarantee need them). Carries
+    (sample, scheduler state, key, frames) — all device-resident between
+    segments, so splitting a chain across invocations is numerically
+    IDENTICAL to the single-program scan (same per-step ops, same PRNG split
+    sequence)."""
+    step_once = make_step_once(scheduler, apply_fn, params, clip_each_step)
+    indices = jnp.asarray(seg_start, jnp.int32) + jnp.arange(seg_len, dtype=jnp.int32)
+
+    if capture_every:
+        # strided trajectory capture with a bounded carried buffer: one frame
+        # per `capture_every` steps, so T=1000 costs n_frames·batch, not T·batch.
+        # The final step ALWAYS lands in the last slot (overwriting that slot's
+        # strided frame when the last step isn't a stride multiple) so
+        # movie[-1] is the returned image.
+        def body(carry, i):
+            sample, st, k, fr = carry
+            sample, st, k = step_once(sample, st, k, i)
+            off = i - chain_start
+            slot = off // capture_every  # == n_frames-1 for the final step
+            fr = jax.lax.cond(
+                (off % capture_every == 0) | (i == total_steps - 1),
+                lambda f: jax.lax.dynamic_update_index_in_dim(f, sample, slot, 0),
+                lambda f: f,
+                fr,
+            )
+            return (sample, st, k, fr), None
+
+        (sample, state, key, frames), _ = jax.lax.scan(body, (sample, state, key, frames), indices)
+        return sample, state, key, frames
+
+    def body(carry, i):
+        sample, st, k = carry
+        return step_once(sample, st, k, i), None
+
+    (sample, state, key), _ = jax.lax.scan(body, (sample, state, key), indices)
+    return sample, state, key, None
+
+
+def movie_frames_init(n_steps: int, capture_every: int, sample_shape, dtype) -> jnp.ndarray:
+    """Zero frame buffer sized for a ``capture_every``-strided n_steps chain."""
+    n_frames = -(-n_steps // capture_every)
+    return jnp.zeros((n_frames,) + tuple(sample_shape), dtype)
+
+
 def sample_loop(
     scheduler,
     state,
@@ -41,62 +135,22 @@ def sample_loop(
 
     ``state`` must already carry inference timesteps (scheduler.set_timesteps).
     ``movie`` stacks every ``capture_every``-th intermediate (plus the final
-    state is the last frame), or None.
+    state is the last frame), or None. (One program; the pipeline's
+    ``segment_steps`` mode runs the identical math as repeated
+    ``chain_segment`` programs instead.)
     """
     n = int(state.timesteps.shape[0])
     n_steps = n - start_from
-    init_sigma = getattr(scheduler, "init_noise_sigma", 1.0)
-    if callable(init_sigma):
-        init_sigma = init_sigma(state)
-    sample = init * jnp.asarray(init_sigma, init.dtype)
-    if hasattr(scheduler, "begin_sampling"):
-        state = scheduler.begin_sampling(state, sample)
-
-    def step_once(sample, st, k, i):
-        t = st.timesteps[i]
-        k, sub = jax.random.split(k)
-        model_in = scheduler.scale_model_input(st, sample, i)
-        eps = apply_fn(params, model_in, jnp.broadcast_to(t, (sample.shape[0],)))
-        st, sample, _x0 = scheduler.step(st, eps, i, sample, sub)
-        if clip_each_step is not None:
-            sample = jnp.clip(sample, -clip_each_step, clip_each_step)
-        # (the reference's clip_defense knob lives in DDPMConfig.clip_defense —
-        # applied inside DDPMScheduler.step — not here)
-        return sample, st, k
-
-    indices = jnp.arange(start_from, n)
-
+    sample, state = chain_prologue(scheduler, state, init)
+    frames = None
     if capture_every:
-        # strided trajectory capture with a bounded carried buffer: one frame
-        # per `capture_every` steps, so T=1000 costs n_frames·batch, not T·batch.
-        # The final step ALWAYS lands in the last slot (overwriting that slot's
-        # strided frame when n_steps-1 isn't a stride multiple) so movie[-1]
-        # is the returned image, honoring the docstring contract.
-        n_frames = -(-n_steps // capture_every)
-        frames0 = jnp.zeros((n_frames,) + init.shape, init.dtype)
-
-        def body(carry, i):
-            sample, st, k, frames = carry
-            sample, st, k = step_once(sample, st, k, i)
-            off = i - start_from
-            slot = off // capture_every  # == n_frames-1 for the final step
-            frames = jax.lax.cond(
-                (off % capture_every == 0) | (i == n - 1),
-                lambda f: jax.lax.dynamic_update_index_in_dim(f, sample, slot, 0),
-                lambda f: f,
-                frames,
-            )
-            return (sample, st, k, frames), None
-
-        (sample, state, key, frames), _ = jax.lax.scan(body, (sample, state, key, frames0), indices)
-        return sample, frames
-
-    def body(carry, i):
-        sample, st, k = carry
-        return step_once(sample, st, k, i), None
-
-    (sample, state, key), _ = jax.lax.scan(body, (sample, state, key), indices)
-    return sample, None
+        frames = movie_frames_init(n_steps, capture_every, init.shape, init.dtype)
+    sample, state, key, frames = chain_segment(
+        scheduler, apply_fn, params, sample, state, key,
+        seg_start=start_from, seg_len=n_steps, total_steps=n, chain_start=start_from,
+        clip_each_step=clip_each_step, capture_every=capture_every, frames=frames,
+    )
+    return sample, frames
 
 
 def sample_sde_ve(

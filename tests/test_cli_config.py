@@ -181,3 +181,13 @@ class TestSetup:
         assert config.param_sharding == "replicated"
         config = setup(train_args(tmp_path, ["--postfix", "ps1", "--param_sharding", "fsdp"]))
         assert config.param_sharding == "fsdp"
+
+
+def test_sample_segment_accepted_in_every_mode(tmp_path):
+    """--sample_segment is an extension flag (EXTRA_OPTS): valid in train
+    AND in the args.json-reloading eval modes, landing in config."""
+    config = setup(train_args(tmp_path, ["--sample_segment", "100", "--postfix", "ss"]))
+    assert config.sample_segment == 100
+    reloaded = setup(["--mode", "sampling", "--ckpt", config.output_dir,
+                      "--sample_segment", "50"])
+    assert reloaded.sample_segment == 50

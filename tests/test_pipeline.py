@@ -279,3 +279,76 @@ class TestMeshSampling:
         # fully-replicated trees pass through without a copy
         again = ensure_on_device(out, mesh)
         assert all(a is b for a, b in zip(jax.tree.leaves(again), jax.tree.leaves(out)))
+
+
+class TestSegmentedSampling:
+    """pipeline.segment_steps: the chain as repeated bounded-length programs
+    must be numerically IDENTICAL to the single-program scan (same per-step
+    ops, same PRNG split sequence) — the operational knob for multi-minute
+    chains that can outlive a device worker (pipeline._segment_fns)."""
+
+    def _seg_pipe(self, pipe, seg):
+        import copy
+
+        p = DiffusionPipeline(
+            pipe.unet, pipe.params, pipe.scheduler,
+            default_inference_steps=pipe.default_inference_steps,
+        )
+        p.segment_steps = seg
+        return p
+
+    def test_segmented_matches_single_program(self, pipe):
+        k = jax.random.PRNGKey(3)
+        ref = pipe(batch_size=2, key=k, num_inference_steps=12).images
+        for seg in (5, 4, 1):  # remainder segment, exact divisor, per-step
+            got = self._seg_pipe(pipe, seg)(batch_size=2, key=k, num_inference_steps=12).images
+            np.testing.assert_array_equal(got, ref)
+
+    def test_segmented_movie_matches(self, pipe):
+        k = jax.random.PRNGKey(5)
+        ref = pipe(batch_size=1, key=k, num_inference_steps=10,
+                   save_every_step=True, capture_every=3)
+        got = self._seg_pipe(pipe, 4)(batch_size=1, key=k, num_inference_steps=10,
+                                      save_every_step=True, capture_every=3)
+        np.testing.assert_array_equal(got.images, ref.images)
+        np.testing.assert_array_equal(got.movie, ref.movie)
+        np.testing.assert_array_equal(got.movie[-1], got.images)
+
+    def test_segmented_multistep_solver_state_carries(self, pipe):
+        # UniPC carries ring buffers + last_sample across steps; a segment
+        # boundary must not reset them
+        from baddiffusion_tpu.schedulers import UniPCConfig, UniPCMultistepScheduler
+
+        sp = DiffusionPipeline(
+            pipe.unet, pipe.params, UniPCMultistepScheduler(UniPCConfig()),
+            default_inference_steps=10,
+        )
+        k = jax.random.PRNGKey(0)
+        ref = sp(batch_size=2, key=k, num_inference_steps=10).images
+        sp.segment_steps = 3
+        got = sp(batch_size=2, key=k, num_inference_steps=10).images
+        np.testing.assert_array_equal(got, ref)
+
+    def test_segmented_with_start_from(self, pipe):
+        k = jax.random.PRNGKey(1)
+        ref = pipe(batch_size=1, key=k, num_inference_steps=10, start_from=4).images
+        got = self._seg_pipe(pipe, 2)(batch_size=1, key=k, num_inference_steps=10,
+                                      start_from=4).images
+        np.testing.assert_array_equal(got, ref)
+
+    def test_segmented_on_mesh_matches(self, pipe):
+        from baddiffusion_tpu.parallel import make_mesh
+
+        k = jax.random.PRNGKey(9)
+        mp = self._seg_pipe(pipe, None)
+        mp.mesh = make_mesh()
+        mesh_ref = mp(batch_size=8, key=k, num_inference_steps=8).images
+        sp = self._seg_pipe(pipe, 4)
+        sp.mesh = make_mesh()
+        got = sp(batch_size=8, key=k, num_inference_steps=8).images
+        # segmenting must be exact against the same-mesh single program;
+        # mesh-vs-single-device carries the usual reduction-order noise
+        # (bounded like TestMeshSampling)
+        np.testing.assert_array_equal(got, mesh_ref)
+        single = pipe(batch_size=8, key=k, num_inference_steps=8).images
+        np.testing.assert_allclose(got, single, atol=1e-4)
