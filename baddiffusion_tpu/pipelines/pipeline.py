@@ -34,6 +34,7 @@ from baddiffusion_tpu.pipelines.sampler import (
     pad_batch_for_mesh,
     sample_loop,
     sample_sde_ve,
+    sde_ve_segment,
     to_images,
     trim_padded,
 )
@@ -151,7 +152,10 @@ class DiffusionPipeline:
             unet = type(self.unet)(self.unet.config, dtype=self.compute_dtype)
         cast = self.compute_dtype
         n = num_inference_steps
-        n_steps = n - start_from
+        is_sde_ve = scheduler.hf_class_name == "ScoreSdeVeScheduler"
+        # SDE-VE's engine ignores start_from (same as the single-program path)
+        chain_start = 0 if is_sde_ve else start_from
+        n_steps = n - chain_start
 
         def apply_fn(p, x, t):
             return unet.apply({"params": p}, x, t).astype(x.dtype)
@@ -162,11 +166,15 @@ class DiffusionPipeline:
 
         @partial(jax.jit, **prolog_kw)
         def prolog(init, key):
-            sample, st = chain_prologue(scheduler, state0, init)
             frames = None
             if capture_every:
                 frames = movie_frames_init(n_steps, capture_every, init.shape, init.dtype)
-            return sample, st, frames, key
+            if is_sde_ve:
+                sample = init * jnp.asarray(scheduler.init_noise_sigma, init.dtype)
+                # SDE-VE carries the running sample_mean (the returned image)
+                return (sample, jnp.zeros_like(sample), state0), frames, key
+            sample, st = chain_prologue(scheduler, state0, init)
+            return (sample, st), frames, key
 
         seg_cache = {}
 
@@ -174,37 +182,65 @@ class DiffusionPipeline:
             if seg_len in seg_cache:
                 return seg_cache[seg_len]
 
-            @jax.jit
-            def seg_run(params, sample, st, key, frames, seg_start):
-                params = cast_params(params, cast)
-                return chain_segment(
-                    scheduler, apply_fn, params, sample, st, key,
-                    seg_start=seg_start, seg_len=seg_len, total_steps=n,
-                    chain_start=start_from, clip_each_step=self.clip_each_step,
-                    capture_every=capture_every, frames=frames,
-                )
+            if is_sde_ve:
+
+                @jax.jit
+                def seg_run(params, carry, key, frames, seg_start):
+                    params = cast_params(params, cast)
+                    sample, last_mean, st = carry
+                    sample, last_mean, st, key, frames = sde_ve_segment(
+                        scheduler, apply_fn, params, sample, last_mean, st, key,
+                        seg_start=seg_start, seg_len=seg_len, total_steps=n,
+                        capture_every=capture_every, frames=frames,
+                    )
+                    return (sample, last_mean, st), key, frames
+
+            else:
+
+                @jax.jit
+                def seg_run(params, carry, key, frames, seg_start):
+                    params = cast_params(params, cast)
+                    sample, st = carry
+                    sample, st, key, frames = chain_segment(
+                        scheduler, apply_fn, params, sample, st, key,
+                        seg_start=seg_start, seg_len=seg_len, total_steps=n,
+                        chain_start=chain_start, clip_each_step=self.clip_each_step,
+                        capture_every=capture_every, frames=frames,
+                    )
+                    return (sample, st), key, frames
 
             seg_cache[seg_len] = seg_run
             return seg_run
 
-        self._jit_cache[cache_key] = (prolog, seg_run_for)
-        return prolog, seg_run_for
+        def epilog(carry, frames):
+            if is_sde_ve:
+                _sample, last_mean, _st = carry
+                images = jnp.clip(last_mean, 0.0, 1.0)
+                movie = None if frames is None else jnp.clip(frames, 0.0, 1.0)
+            else:
+                sample, _st = carry
+                images = to_images(sample)
+                movie = None if frames is None else to_images(frames)
+            return images, movie
+
+        self._jit_cache[cache_key] = (prolog, seg_run_for, epilog, chain_start)
+        return self._jit_cache[cache_key]
 
     def _run_segmented(self, init, key, num_inference_steps: int, start_from: int, capture_every):
-        prolog, seg_run_for = self._segment_fns(num_inference_steps, start_from, capture_every)
-        sample, st, frames, key = prolog(init, key)
+        prolog, seg_run_for, epilog, chain_start = self._segment_fns(
+            num_inference_steps, start_from, capture_every
+        )
+        carry, frames, key = prolog(init, key)
         n = num_inference_steps
         seg = int(self.segment_steps)
-        s = start_from
+        s = chain_start
         while s < n:
             length = min(seg, n - s)
-            sample, st, key, frames = seg_run_for(length)(
-                self.params, sample, st, key, frames, jnp.asarray(s, jnp.int32)
+            carry, key, frames = seg_run_for(length)(
+                self.params, carry, key, frames, jnp.asarray(s, jnp.int32)
             )
             s += length
-        images = to_images(sample)
-        movie = None if frames is None else to_images(frames)
-        return images, movie
+        return epilog(carry, frames)
 
     def _sample_fn(self, batch_size: int, num_inference_steps: int, start_from: int, capture_every):
         # compute_dtype/mesh are mutable (load_pipeline_for_eval flips them
@@ -316,7 +352,11 @@ class DiffusionPipeline:
         # measured 15 -> 5 imgs/sec on v5e when params re-upload per chunk
         self.params = ensure_on_device(self.params, self.mesh)
 
-        special = self.scheduler.hf_class_name in ("ScoreSdeVeScheduler", "KarrasVeScheduler")
+        # KarrasVe stays single-program (its step consumes (sigma_hat,
+        # sigma_prev) pairs via a dedicated engine; segmenting it would need
+        # that engine's own carry — it is also the only chain never run at
+        # production lengths). SDE-VE and the generic chain both segment.
+        special = self.scheduler.hf_class_name == "KarrasVeScheduler"
         if self.segment_steps and not special and self.segment_steps < (n - start_from):
             images, movie = self._run_segmented(init, key, n, start_from, capture_every)
         else:

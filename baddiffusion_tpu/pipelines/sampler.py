@@ -153,21 +153,26 @@ def sample_loop(
     return sample, frames
 
 
-def sample_sde_ve(
+def sde_ve_segment(
     scheduler,
-    state,
     apply_fn: Callable,
     params,
-    init: jnp.ndarray,
+    sample: jnp.ndarray,
+    last_mean: jnp.ndarray,
+    state,
     key: jax.Array,
+    seg_start,
+    seg_len: int,
+    total_steps: int,
     capture_every: Optional[int] = None,
-) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Predictor-corrector loop for ScoreSdeVe (reference
-    pipeline_score_sde_ve.py:75-113): per timestep run ``correct_steps``
-    Langevin corrector steps then one predictor step."""
-    n = int(state.timesteps.shape[0])
+    frames: Optional[jnp.ndarray] = None,
+):
+    """``seg_len`` predictor-corrector steps from (possibly traced)
+    ``seg_start`` — the SDE-VE analog of ``chain_segment``, with the carried
+    (sample, last_mean, state, key, frames) staying device-resident between
+    invocations (the returned image is the final step's sample_MEAN,
+    reference pipeline_score_sde_ve.py:109-113)."""
     correct_steps = scheduler.config.correct_steps
-    sample = init * jnp.asarray(scheduler.init_noise_sigma, init.dtype)
 
     # the score model is conditioned on sigma_t, not t
     # (reference pipeline_score_sde_ve.py:85-96)
@@ -178,9 +183,6 @@ def sample_sde_ve(
         score = apply_fn(params, sample, jnp.broadcast_to(sigma_t, (sample.shape[0],)))
         sample = scheduler.step_correct(st, score, sample, sub)
         return (sample, st, k, i), None
-
-    n_frames = -(-n // capture_every) if capture_every else 0
-    frames0 = jnp.zeros((n_frames,) + init.shape, init.dtype) if capture_every else None
 
     def body(carry, i):
         sample, last_mean, st, k, frames = carry
@@ -196,22 +198,47 @@ def sample_sde_ve(
             # last slot so movie[-1] equals the returned image
             slot = i // capture_every
             frames = jax.lax.cond(
-                (i % capture_every == 0) | (i == n - 1),
+                (i % capture_every == 0) | (i == total_steps - 1),
                 lambda f: jax.lax.dynamic_update_index_in_dim(f, sample_mean, slot, 0),
                 lambda f: f,
                 frames,
             )
         return (sample, sample_mean, st, k, frames), None
 
+    indices = jnp.asarray(seg_start, jnp.int32) + jnp.arange(seg_len, dtype=jnp.int32)
     (sample, last_mean, state, key, frames), _ = jax.lax.scan(
-        body, (sample, jnp.zeros_like(sample), state, key, frames0), jnp.arange(n)
+        body, (sample, last_mean, state, key, frames), indices
     )
-    # the reference returns the last step's sample_mean
-    # (pipeline_score_sde_ve.py:109-113); only that mean is carried — no
-    # [T, B, ...] stacking (HBM-bounded like sample_loop)
+    return sample, last_mean, state, key, frames
+
+
+def sample_sde_ve(
+    scheduler,
+    state,
+    apply_fn: Callable,
+    params,
+    init: jnp.ndarray,
+    key: jax.Array,
+    capture_every: Optional[int] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Predictor-corrector loop for ScoreSdeVe (reference
+    pipeline_score_sde_ve.py:75-113): per timestep run ``correct_steps``
+    Langevin corrector steps then one predictor step. One XLA program; the
+    pipeline's ``segment_steps`` mode runs the identical math as repeated
+    ``sde_ve_segment`` programs."""
+    n = int(state.timesteps.shape[0])
+    sample = init * jnp.asarray(scheduler.init_noise_sigma, init.dtype)
+    frames = None
     if capture_every:
-        return last_mean, frames
-    return last_mean, None
+        frames = movie_frames_init(n, capture_every, init.shape, init.dtype)
+    _sample, last_mean, state, key, frames = sde_ve_segment(
+        scheduler, apply_fn, params, sample, jnp.zeros_like(sample), state, key,
+        seg_start=0, seg_len=n, total_steps=n,
+        capture_every=capture_every, frames=frames,
+    )
+    # only the running mean is carried — no [T, B, ...] stacking
+    # (HBM-bounded like sample_loop)
+    return last_mean, frames
 
 
 def to_images(sample: jnp.ndarray) -> jnp.ndarray:

@@ -352,3 +352,25 @@ class TestSegmentedSampling:
         np.testing.assert_array_equal(got, mesh_ref)
         single = pipe(batch_size=8, key=k, num_inference_steps=8).images
         np.testing.assert_allclose(got, single, atol=1e-4)
+
+    def test_segmented_sde_ve_matches(self, pipe):
+        from baddiffusion_tpu.schedulers import ScoreSdeVeConfig, ScoreSdeVeScheduler
+
+        sp = DiffusionPipeline(
+            pipe.unet, pipe.params,
+            ScoreSdeVeScheduler(ScoreSdeVeConfig(num_train_timesteps=100)),
+            default_inference_steps=12, hf_class_name="ScoreSdeVePipeline",
+        )
+        k = jax.random.PRNGKey(2)
+        ref = sp(batch_size=2, key=k, num_inference_steps=12,
+                 save_every_step=True, capture_every=5)
+        sp2 = DiffusionPipeline(
+            pipe.unet, pipe.params,
+            ScoreSdeVeScheduler(ScoreSdeVeConfig(num_train_timesteps=100)),
+            default_inference_steps=12, hf_class_name="ScoreSdeVePipeline",
+        )
+        sp2.segment_steps = 5
+        got = sp2(batch_size=2, key=k, num_inference_steps=12,
+                  save_every_step=True, capture_every=5)
+        np.testing.assert_array_equal(got.images, ref.images)
+        np.testing.assert_array_equal(got.movie, ref.movie)
