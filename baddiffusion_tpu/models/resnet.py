@@ -40,6 +40,14 @@ class GroupNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (channels,), jnp.float32)
 
         orig_dtype = x.dtype
+        import os
+
+        if os.environ.get("BADDIFFUSION_GN_BARRIER") == "1":
+            # experiment gate: materialize the GN input so the stats
+            # reductions can NOT fuse into the producing conv as a
+            # multi-output epilogue (which constrains the conv's tiling);
+            # costs one extra HBM round-trip of the activation per GN
+            x = jax.lax.optimization_barrier(x)
         x32 = x.astype(jnp.float32)
         shape = x.shape[:-1] + (self.num_groups, channels // self.num_groups)
         grouped = x32.reshape(shape)

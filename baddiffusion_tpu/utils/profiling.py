@@ -73,29 +73,31 @@ def xplane_hbm_bytes(xplane_path: str) -> Dict[str, float]:
     }
 
 
-def hbm_top_ops(trace_dir: str, k: int = 25):
-    """Leaf ops of the op_profile tree sorted by HBM bytes, from a trace dir
-    produced by ``measure_hbm_traffic`` (it returns ``trace_dir``). Each row:
-    (name, hbm_bytes, time_ps, flops). Use to find WHERE per-step DRAM
-    traffic goes when a path sits high on the measured HBM roofline."""
+def hbm_top_ops(trace_dir: str, k: int = 25, by: str = "bytes"):
+    """Executed-op rows from the op_profile tree of a trace dir produced by
+    ``measure_hbm_traffic`` (it returns ``trace_dir``). Each row:
+    (name, hbm_bytes, time_ps, flops) with name = "category/op". Sorted by
+    HBM bytes (``by="bytes"``) or device time (``by="time"``). Use to find
+    WHERE per-step DRAM traffic / device time goes.
+
+    The tree is program -> category -> op -> fused instructions; time/bytes
+    are attributed at the *op* (fusion) level, so rows are taken exactly one
+    level below each category — recursing to childless leaves would skip
+    every fusion (fused instructions carry no metrics of their own).
+    Note: xprof caps children per category (~100); the residual under the
+    cap is emitted as a "category/(untracked residual)" row so totals match
+    the category sums.
+    """
     import json
 
     from xprof.convert import raw_to_tool_data
 
-    rows = []
-
-    def walk(node):
-        kids = node.get("children") or []
+    def _metrics(node):
         m = node.get("metrics") or {}
-        if not kids:
-            arr = m.get("rawBytesAccessedArray") or [0.0]
-            rows.append((
-                node.get("name", "?"), float(arr[0]),
-                float(m.get("rawTime", 0.0)), float(m.get("rawFlops", 0.0)),
-            ))
-        for c in kids:
-            walk(c)
+        arr = m.get("rawBytesAccessedArray") or [0.0]
+        return float(arr[0]), float(m.get("rawTime", 0.0)), float(m.get("rawFlops", 0.0))
 
+    rows = []
     for xp in _find_xplanes(trace_dir):
         data = raw_to_tool_data.xspace_to_tool_data([xp], "op_profile", {})
         if isinstance(data, tuple):
@@ -103,9 +105,22 @@ def hbm_top_ops(trace_dir: str, k: int = 25):
         if isinstance(data, bytes):
             data = data.decode()
         d = json.loads(data)
-        root = d.get("byCategoryExcludeIdle") or d.get("byProgramExcludeIdle") or {}
-        walk(root)
-    rows.sort(key=lambda r: -r[1])
+        root = d.get("byProgramExcludeIdle") or d.get("byCategoryExcludeIdle") or {}
+        for prog in root.get("children") or []:
+            for cat in prog.get("children") or []:
+                cname = cat.get("name", "?")
+                cb, ct, cf = _metrics(cat)
+                ob = ot = of = 0.0
+                for op in cat.get("children") or []:
+                    b, t, f = _metrics(op)
+                    ob, ot, of = ob + b, ot + t, of + f
+                    rows.append((f"{cname}/{op.get('name', '?')}", b, t, f))
+                if ct - ot > 1e3 or cb - ob > 1.0:  # children capped by xprof
+                    rows.append((
+                        f"{cname}/(untracked residual)",
+                        max(cb - ob, 0.0), max(ct - ot, 0.0), max(cf - of, 0.0),
+                    ))
+    rows.sort(key=lambda r: -r[2] if by == "time" else -r[1])
     return rows[:k]
 
 

@@ -17,8 +17,12 @@ unavailable in this environment. Control measurement: 3850.8 samples/s /
 live; re-run this script there.
 
 Usage:
-    python examples/xla_flag_sweep.py            # sweep all candidates
-    python examples/xla_flag_sweep.py --one '<flags>'   # single measurement
+    python examples/xla_flag_sweep.py                    # sweep all candidates
+    python examples/xla_flag_sweep.py --one '<flags>'    # single measurement
+    python examples/xla_flag_sweep.py --one              # control (no flags)
+
+``--one <flags>`` sets XLA_FLAGS before jax imports, so the flags really
+apply to the measured process (equivalently: XLA_FLAGS='<flags>' ... --one).
 
 Prints one JSON line per configuration; parent prints a ranked table.
 """
@@ -86,20 +90,36 @@ def measure():
 
 def main():
     if "--one" in sys.argv:
+        # honor an explicit flags operand: it must land in XLA_FLAGS before
+        # jax initializes its backend inside measure()
+        pos = sys.argv.index("--one")
+        if pos + 1 < len(sys.argv) and sys.argv[pos + 1]:
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "") + " " + sys.argv[pos + 1]
+            ).strip()
         measure()
         return
+    import hashlib
+
     results = []
     for flags in CANDIDATES:
         env = dict(os.environ)
         if flags:
             env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
         # fresh compile: flag changes invalidate cached executables anyway,
-        # but keep the persistent cache out of the way to be safe
-        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/xla_flag_sweep_cache_" + str(abs(hash(flags)) % 10**8)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one"],
-            env=env, capture_output=True, text=True, timeout=900,
-        )
+        # but keep the persistent cache out of the way to be safe. Stable
+        # digest (not hash(): randomized per process) so re-runs reuse dirs.
+        digest = hashlib.sha1(flags.encode()).hexdigest()[:8]
+        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/xla_flag_sweep_cache_" + digest
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one"],
+                env=env, capture_output=True, text=True, timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            # one hung candidate must not abort the sweep and lose prior rows
+            print(json.dumps({"xla_flags": flags, "error": "timeout"}), flush=True)
+            continue
         line = [l for l in r.stdout.splitlines() if l.startswith("{")]
         if line:
             results.append(json.loads(line[-1]))
