@@ -167,7 +167,7 @@ class UniPCMultistepScheduler(ConfigurableScheduler):
         elif order == 2:
             rhos_p = jnp.asarray([0.5], jnp.float32)
         else:
-            rhos_p = jnp.linalg.solve(R[:-1, :-1], b[:-1])
+            rhos_p = self._solve_small(R[:-1, :-1], b[:-1])
 
         if cfg.predict_x0:
             a_t, s_t, s_s0 = state.alpha_t[t_target], state.sigma_t[t_target], state.sigma_t[s0]
@@ -197,7 +197,7 @@ class UniPCMultistepScheduler(ConfigurableScheduler):
         if order == 1:
             rhos_c = jnp.asarray([0.5], jnp.float32)
         else:
-            rhos_c = jnp.linalg.solve(R, b)
+            rhos_c = self._solve_small(R, b)
 
         corr = 0.0
         for k in range(order - 1):
@@ -210,6 +210,40 @@ class UniPCMultistepScheduler(ConfigurableScheduler):
         a_t, a_s0, s_t = state.alpha_t[t_target], state.alpha_t[s0], state.sigma_t[t_target]
         x_t_ = a_t / a_s0 * last_x - s_t * h_phi_1 * m0
         return x_t_ - s_t * B_h * (corr + rhos_c[order - 1] * D1_t)
+
+    @staticmethod
+    def _solve_small(R: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Closed-form solve for the static n<=3 UniPC systems.
+
+        ``jnp.linalg.solve`` on these tiny systems lowers to the general LU
+        pipeline, which inside the 50-step sampling scan ballooned the TPU
+        chain compile from ~80 s to ~23 min (SWEEP.json r4 UNIPC-SCHED
+        measure_wall anomaly). Cramer's rule on a 2x2/3x3 f32 system is exact
+        to ulp-level of the same arithmetic and compiles to a handful of
+        fused multiplies."""
+        n = R.shape[0]
+        if n == 1:
+            return b / R[0]
+        if n == 2:
+            det = R[0, 0] * R[1, 1] - R[0, 1] * R[1, 0]
+            x0 = (b[0] * R[1, 1] - R[0, 1] * b[1]) / det
+            x1 = (R[0, 0] * b[1] - b[0] * R[1, 0]) / det
+            return jnp.stack([x0, x1])
+        if n == 3:
+            def det3(m):
+                return (
+                    m[0, 0] * (m[1, 1] * m[2, 2] - m[1, 2] * m[2, 1])
+                    - m[0, 1] * (m[1, 0] * m[2, 2] - m[1, 2] * m[2, 0])
+                    + m[0, 2] * (m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0])
+                )
+
+            det = det3(R)
+            cols = []
+            for j in range(3):
+                Rj = R.at[:, j].set(b)
+                cols.append(det3(Rj) / det)
+            return jnp.stack(cols)
+        return jnp.linalg.solve(R, b)  # unreachable for solver_order <= 3
 
     @staticmethod
     def _select_order(candidates, this_order):
