@@ -25,7 +25,10 @@ import pytest
 
 from tests.test_solver_parity import SHAPE, fake_model_np
 
-pytestmark = [pytest.mark.slow, pytest.mark.reference]
+# deep fuzz classes below carry [slow, reference]; the default-tier mini-fuzz
+# (TestMiniFuzz) carries only `reference` so config-space regressions surface
+# on every default run (VERDICT r4 #7)
+pytestmark = [pytest.mark.reference]
 
 BETA_SCHEDULES = ["linear", "scaled_linear", "squaredcos_cap_v2", "sigmoid"]
 # the torch reference implements sigmoid only for DDPM (scheduling_ddpm.py);
@@ -119,6 +122,103 @@ def report(failures, total):
     )
 
 
+class TestMiniFuzz:
+    """Default-tier slice of the config-space fuzz (VERDICT r4 #7): a few
+    seeded random configs per family at the tiny SHAPE so config-space
+    regressions surface on EVERY default run, not only under RUN_SLOW.
+    Budget ~2 s/config; the deep ~235-config sweep stays gated below."""
+
+    def test_mini_fuzz_all_families(self):
+        from baddiffusion_tpu.schedulers import (
+            DDIMConfig,
+            DDIMScheduler,
+            DEISConfig,
+            DEISMultistepScheduler,
+            DPMSolverConfig,
+            DPMSolverMultistepScheduler,
+            HeunConfig,
+            HeunDiscreteScheduler,
+            LMSConfig,
+            LMSDiscreteScheduler,
+            PNDMConfig,
+            PNDMScheduler,
+            UniPCConfig,
+            UniPCMultistepScheduler,
+        )
+
+        r = random.Random(424242)
+        failures, total = [], 0
+
+        def draw_common():
+            return dict(
+                num_train_timesteps=1000, beta_start=0.0001, beta_end=0.02,
+                beta_schedule=r.choice(SOLVER_BETA_SCHEDULES),
+                prediction_type=r.choice(PREDICTION_TYPES),
+            )
+
+        for _ in range(2):
+            kwargs = dict(
+                draw_common(), solver_order=r.choice([1, 2, 3]),
+                thresholding=r.random() < 0.25,
+                algorithm_type=r.choice(["dpmsolver", "dpmsolver++"]),
+                solver_type=r.choice(["midpoint", "heun"]),
+                lower_order_final=r.random() < 0.7,
+            )
+            total += 1
+            check_config("dpm", "DPMSolverMultistepScheduler", DPMSolverMultistepScheduler,
+                         DPMSolverConfig, kwargs, r.choice([5, 8]), failures)
+        for _ in range(2):
+            kwargs = dict(
+                draw_common(), solver_order=r.choice([1, 2, 3]),
+                thresholding=r.random() < 0.25, predict_x0=r.random() < 0.7,
+                solver_type=r.choice(["bh1", "bh2"]),
+                lower_order_final=r.random() < 0.7,
+            )
+            total += 1
+            check_config("unipc", "UniPCMultistepScheduler", UniPCMultistepScheduler,
+                         UniPCConfig, kwargs, r.choice([5, 8]), failures)
+        for _ in range(2):
+            kwargs = dict(
+                draw_common(), solver_order=r.choice([1, 2, 3]),
+                thresholding=r.random() < 0.25, lower_order_final=r.random() < 0.7,
+            )
+            total += 1
+            check_config("deis", "DEISMultistepScheduler", DEISMultistepScheduler,
+                         DEISConfig, kwargs, r.choice([5, 8]), failures)
+        for _ in range(2):
+            kwargs = dict(
+                draw_common(), clip_sample=r.random() < 0.5,
+                set_alpha_to_one=r.random() < 0.5, steps_offset=r.choice([0, 1]),
+                thresholding=r.random() < 0.25,
+            )
+            total += 1
+            check_config("ddim", "DDIMScheduler", DDIMScheduler,
+                         DDIMConfig, kwargs, r.choice([5, 8]), failures)
+        kwargs = dict(
+            draw_common(), skip_prk_steps=r.random() < 0.5,
+            set_alpha_to_one=r.random() < 0.5, steps_offset=r.choice([0, 1]),
+        )
+        kwargs["prediction_type"] = r.choice(["epsilon", "v_prediction"])
+        total += 1
+        check_config("pndm", "PNDMScheduler", PNDMScheduler,
+                     PNDMConfig, kwargs, 8, failures)
+        for name, cls, cfg_cls in [
+            ("heun", HeunDiscreteScheduler, HeunConfig),
+            ("lms", LMSDiscreteScheduler, LMSConfig),
+        ]:
+            kwargs = dict(
+                num_train_timesteps=1000,
+                beta_start=r.choice([0.0001, 0.00085]),
+                beta_end=r.choice([0.012, 0.02]),
+                beta_schedule=r.choice(["linear", "scaled_linear"]),
+                prediction_type=r.choice(["epsilon", "v_prediction"]),
+            )
+            total += 1
+            check_config(name, cls.__name__, cls, cfg_cls, kwargs, 10, failures)
+        report(failures, total)
+
+
+@pytest.mark.slow
 class TestSolverFamilyFuzz:
     def test_dpmsolver_fuzz(self):
         from baddiffusion_tpu.schedulers import DPMSolverConfig, DPMSolverMultistepScheduler
@@ -256,6 +356,7 @@ class TestSolverFamilyFuzz:
         report(failures, total)
 
 
+@pytest.mark.slow
 class TestDDPMFuzz:
     """DDPM is stochastic: replay the torch chain's variance noises through
     our mean path (the injected-noise oracle from TestDDPMFullChainParity),
