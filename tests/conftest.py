@@ -28,8 +28,13 @@ jax.config.update("jax_platforms", "cpu")
 # into bf16 explicitly via dtype policy instead.
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# persistent compile cache: UNet compiles dominate test wall-time otherwise
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# persistent compile cache: UNet compiles dominate test wall-time otherwise.
+# Lives under ~/.cache (NOT /tmp, which is wiped between sessions on this box
+# — a /tmp cache made the measured <600 s budget hold only on warm re-runs).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/baddiffusion_tpu/jax-tests"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

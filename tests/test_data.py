@@ -2,6 +2,8 @@
 factory), poison split semantics, batch schema, device compositing."""
 
 import os
+import sys
+import types
 
 import numpy as np
 import pytest
@@ -256,9 +258,19 @@ class TestIDXReader:
         with pytest.raises(ValueError, match="magic"):
             read_idx_images(p)
 
-    def test_missing_data_error_message(self, tmp_path):
+    def test_missing_data_error_message(self, tmp_path, monkeypatch):
         from baddiffusion_tpu.data.triggers import load_digit_train_image
 
+        # the fallback path does `from datasets import load_dataset` — a ~20 s
+        # cold import that dominated this test's wall time; a stub module
+        # exercises the same try/except→RuntimeError logic without it
+        stub = types.ModuleType("datasets")
+
+        def _no_dataset(*a, **k):
+            raise FileNotFoundError("no local HF cache (stub)")
+
+        stub.load_dataset = _no_dataset
+        monkeypatch.setitem(sys.modules, "datasets", stub)
         with pytest.raises(RuntimeError, match="staged"):
             load_digit_train_image("mnist", 0, str(tmp_path))
 
