@@ -6,6 +6,11 @@ from baddiffusion_tpu.training.checkpoint import (
 )
 from baddiffusion_tpu.training.ema import EMAState, ema_decay, ema_init, ema_update
 from baddiffusion_tpu.training.optim import cosine_schedule_with_warmup, make_optimizer
+from baddiffusion_tpu.training.score_matching import (
+    ScoreTrainState,
+    create_score_train_state,
+    make_ve_train_step,
+)
 from baddiffusion_tpu.training.train import TrainState, create_train_state, make_train_step
 from baddiffusion_tpu.training.trainer import sample_grids, train_loop
 

@@ -402,3 +402,27 @@ def test_final_checkpoint_skipped_when_already_saved(monkeypatch, tmp_path):
     with pytest.raises(RuntimeError, match="step failed"):
         train_loop(train_step=boom, state={"params": np.zeros(3)}, **common)
     assert calls == [0]  # crash path: the finally-block save DID run
+
+
+def test_ve_score_matching_step():
+    """VE DSM step (training/score_matching.py): loss = E||sigma*s+z||^2 on a
+    tiny sigma-conditioned model descends and stays finite; the model is
+    called with the CONTINUOUS sigma (the sde_ve_segment sampling contract)."""
+    from baddiffusion_tpu.schedulers import ScoreSdeVeConfig, ScoreSdeVeScheduler
+    from baddiffusion_tpu.training import create_score_train_state, make_ve_train_step
+
+    model = UNet2DModel(TINY)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sched = ScoreSdeVeScheduler(ScoreSdeVeConfig(sigma_max=10.0, num_train_timesteps=50))
+    sstate = sched.create_state()
+    optimizer, _ = make_optimizer(5e-3, num_warmup_steps=2, num_training_steps=100)
+    state = create_score_train_state(params, optimizer)
+    step = make_ve_train_step(model, optimizer, sstate.discrete_sigmas)
+    img = (np.random.RandomState(0).rand(8, 16, 16, 3) * 255).astype(np.uint8)
+    losses = []
+    for i in range(10):
+        state, m = step(state, jnp.asarray(img), jax.random.PRNGKey(0))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 10
