@@ -20,6 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/baddiffusion_tpu/jax")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def build_train_step():
     from baddiffusion_tpu.data import DatasetLoader

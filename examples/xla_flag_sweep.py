@@ -1,60 +1,64 @@
-"""XLA-flag sweep for the 32px backdoor train step (bench.py conditions).
+"""XLA backend-flag sweep for the 32px train step — via compiler_options.
 
-DESIGN.md "Roofline position": the 32px step is compute-pipeline-bound
-(41.6% MFU, 38% HBM) — neither functional unit saturated, the gap is conv
-mapping. XLA exposes the relevant knobs only as process-level flags, so this
-harness re-launches itself once per candidate XLA_FLAGS value and measures
-the identical step program (warmup + best-of-3 20-step windows, exactly the
-bench.py protocol).
+Round-4 finding, now REVISED: the axon tunnel rejects backend flags passed
+through the XLA_FLAGS env var, but per-compile ``compiler_options`` given to
+``jit(f).lower(...).compile(...)`` ARE parsed by the remote compile helper
+(verified: a bogus option name fails the remote compile with HTTP 500, so
+options are not silently dropped). That re-opens the backend-flag lever the
+round-3/4 notes recorded as environment-blocked.
 
-Measured result (round 4, axon-tunneled v5e): the tunnel's HOST-side XLA
-client hard-rejects TPU backend flags at parse time
-(`Unknown flag in XLA_FLAGS: --xla_tpu_scoped_vmem_limit_kib`, F-level
-abort in parse_flags_from_env.cc) — backend compiler options never reach the
-server-side compiler through this transport, so flag-level conv tuning is
-unavailable in this environment. Control measurement: 3850.8 samples/s /
-33.24 ms, matching bench.py. On a directly-attached TPU the sweep below is
-live; re-run this script there.
+Sweeps each candidate option set on the EXACT bench.py 32px train step in
+one process (model/data built once, one compile per candidate), timing with
+a hard host sync (``float(loss)`` — block_until_ready alone can return
+before device completion through this tunnel; see examples/conv_shape_probe).
 
 Usage:
-    python examples/xla_flag_sweep.py                    # sweep all candidates
-    python examples/xla_flag_sweep.py --one '<flags>'    # single measurement
-    python examples/xla_flag_sweep.py --one              # control (no flags)
-
-``--one <flags>`` sets XLA_FLAGS before jax imports, so the flags really
-apply to the measured process (equivalently: XLA_FLAGS='<flags>' ... --one).
-
-Prints one JSON line per configuration; parent prints a ranked table.
+    python examples/xla_flag_sweep.py            # sweep all candidates
+Prints one JSON line per configuration plus a ranked table.
 """
 
+import dataclasses
 import json
 import os
-import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/baddiffusion_tpu/jax")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BATCH = 128
+STEPS = 30
+
 CANDIDATES = [
-    "",  # control: current defaults
-    "--xla_tpu_scoped_vmem_limit_kib=32768",
-    "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "--xla_tpu_scoped_vmem_limit_kib=98304",
-    "--xla_tpu_enable_latency_hiding_scheduler=false",
+    {},  # control: current defaults
+    {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    {"xla_tpu_scoped_vmem_limit_kib": "98304"},
+    {"xla_tpu_enable_latency_hiding_scheduler": "false"},
+    # ExecutableBuildOptions effort knobs (jax passes non--xla_* keys through
+    # to build options): spend more compile time on execution-time opts.
+    # NOTE these setters are TYPED (pybind11 rejects strings): effort is a
+    # float in [-1, 1], optimization_level an int enum (3 = EFFORT_O3).
+    {"exec_time_optimization_effort": 1.0},
+    {"optimization_level": 3},
+    {"xla_tpu_scoped_vmem_limit_kib": "32768", "exec_time_optimization_effort": 1.0},
 ]
 
 
-def measure():
-    import dataclasses
-
-    import jax
-    import jax.numpy as jnp
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+def build():
     from baddiffusion_tpu.data import DatasetLoader
     from baddiffusion_tpu.models import DEFAULT_SCRATCH_CONFIG, UNet2DModel
     from baddiffusion_tpu.schedulers import DDPMConfig, DDPMScheduler
     from baddiffusion_tpu.training import create_train_state, make_optimizer, make_train_step
 
-    BATCH = 128
     cfg = dataclasses.replace(DEFAULT_SCRATCH_CONFIG, sample_size=32)
     model = UNet2DModel(cfg, dtype=jnp.bfloat16)
     params = jax.jit(lambda k: model.init_params(k))(jax.random.PRNGKey(0))
@@ -71,67 +75,54 @@ def measure():
     batch = next(dsl.epoch_batches(0))
     img = jax.device_put(batch["image_u8"])
     clean = jax.device_put(batch["is_clean"])
+    return step, state, img, clean
+
+
+def measure_one(step, state, img, clean, options):
+    """Compile the step with ``options`` and return (step_ms, fresh_state).
+
+    The jitted step donates its state argument, so each candidate gets its
+    own state copy; timing is over chained (state-dependent) calls with a
+    final hard host sync."""
+    state = jax.tree.map(jnp.array, state)  # private buffers (donation)
+    t0 = time.perf_counter()
+    compiled = step.lower(state, img, clean, jax.random.PRNGKey(0)).compile(
+        compiler_options=options or None
+    )
+    compile_s = time.perf_counter() - t0
     for i in range(3):
-        state, metrics = step(state, img, clean, jax.random.PRNGKey(i))
-    jax.block_until_ready(metrics["loss"])
+        state, metrics = compiled(state, img, clean, jax.random.PRNGKey(i))
+    float(metrics["loss"])
     best = float("inf")
     for w in range(3):
         t0 = time.perf_counter()
-        for i in range(20):
-            state, metrics = step(state, img, clean, jax.random.PRNGKey(100 + w * 20 + i))
-        jax.block_until_ready(metrics["loss"])
-        best = min(best, time.perf_counter() - t0)
-    print(json.dumps({
-        "xla_flags": os.environ.get("XLA_FLAGS", ""),
-        "samples_per_sec": round(BATCH * 20 / best, 1),
-        "step_ms": round(best / 20 * 1e3, 2),
-    }))
+        for i in range(STEPS):
+            state, metrics = compiled(state, img, clean, jax.random.PRNGKey(100 + w * STEPS + i))
+        float(metrics["loss"])  # hard sync
+        best = min(best, (time.perf_counter() - t0) / STEPS)
+    return best * 1e3, compile_s
 
 
 def main():
-    if "--one" in sys.argv:
-        # honor an explicit flags operand: it must land in XLA_FLAGS before
-        # jax initializes its backend inside measure()
-        pos = sys.argv.index("--one")
-        if pos + 1 < len(sys.argv) and sys.argv[pos + 1]:
-            os.environ["XLA_FLAGS"] = (
-                os.environ.get("XLA_FLAGS", "") + " " + sys.argv[pos + 1]
-            ).strip()
-        measure()
-        return
-    import hashlib
-
+    step, state, img, clean = build()
     results = []
-    for flags in CANDIDATES:
-        env = dict(os.environ)
-        if flags:
-            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
-        # fresh compile: flag changes invalidate cached executables anyway,
-        # but keep the persistent cache out of the way to be safe. Stable
-        # digest (not hash(): randomized per process) so re-runs reuse dirs.
-        digest = hashlib.sha1(flags.encode()).hexdigest()[:8]
-        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/xla_flag_sweep_cache_" + digest
+    for options in CANDIDATES:
+        tag = ",".join(f"{k}={v}" for k, v in options.items()) or "control"
         try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one"],
-                env=env, capture_output=True, text=True, timeout=900,
-            )
-        except subprocess.TimeoutExpired:
-            # one hung candidate must not abort the sweep and lose prior rows
-            print(json.dumps({"xla_flags": flags, "error": "timeout"}), flush=True)
-            continue
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")]
-        if line:
-            results.append(json.loads(line[-1]))
-            print(line[-1], flush=True)
-        else:
-            err = r.stderr[-400:].replace("WARNING", "WARN")  # keep greppable
-            print(json.dumps({"xla_flags": flags, "error": err}), flush=True)
-    if results:
-        results.sort(key=lambda x: -x["samples_per_sec"])
-        print("\nranked:")
-        for r in results:
-            print(f"  {r['samples_per_sec']:8.1f} samples/s  {r['step_ms']:6.2f} ms  {r['xla_flags'] or '(default)'}")
+            ms, compile_s = measure_one(step, state, img, clean, options)
+            row = {"options": tag, "step_ms": round(ms, 2),
+                   "samples_per_sec": round(BATCH / ms * 1e3, 1),
+                   "compile_s": round(compile_s, 1)}
+        except Exception as exc:
+            row = {"options": tag, "error": f"{type(exc).__name__}: {exc}"[:300]}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    ok = [r for r in results if "step_ms" in r]
+    ok.sort(key=lambda r: r["step_ms"])
+    print("\n== ranked ==")
+    for r in ok:
+        print(f"{r['step_ms']:8.2f} ms  {r['samples_per_sec']:8.1f} samples/s  {r['options']}")
 
 
 if __name__ == "__main__":
