@@ -104,14 +104,16 @@ def main():
         step_flops = step_bytes = 0.0
 
     # best of 3 windows: the axon tunnel adds occasional multi-ms dispatch
-    # stalls that would otherwise under-report steady-state throughput by >10%
-    best_dt = float("inf")
+    # stalls that would otherwise under-report steady-state throughput by >10%;
+    # the window spread doubles as the run-to-run error bar on the headline
+    train_windows = []
     for w in range(3):
         t0 = time.perf_counter()
         for i in range(MEASURE_STEPS):
             state, metrics = step(state, img, clean, jax.random.PRNGKey(100 + w * MEASURE_STEPS + i))
         jax.block_until_ready(metrics["loss"])
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        train_windows.append(time.perf_counter() - t0)
+    best_dt = min(train_windows)
     samples_per_sec = BATCH * MEASURE_STEPS / best_dt
 
     # secondary: REAL 1000-step DDPM sampling imgs/sec — the actual pipeline
@@ -125,9 +127,12 @@ def main():
         jax.random.normal(jax.random.PRNGKey(7), (SAMPLING_BATCH, 32, 32, 3), jnp.float32)
     )
     pipe(init=init, num_inference_steps=1000, key=jax.random.PRNGKey(8))  # compile (cached)
-    t0 = time.perf_counter()
-    pipe(init=init, num_inference_steps=1000, key=jax.random.PRNGKey(9))
-    dt_samp = time.perf_counter() - t0
+    samp_runs = []
+    for sk in (9, 10):
+        t0 = time.perf_counter()
+        pipe(init=init, num_inference_steps=1000, key=jax.random.PRNGKey(sk))
+        samp_runs.append(time.perf_counter() - t0)
+    dt_samp = min(samp_runs)
     sampling_imgs_per_sec = SAMPLING_BATCH / dt_samp
 
     try:
@@ -179,13 +184,14 @@ def main():
         bytes256 = float(ca256.get("bytes accessed", 0.0)) * 16
     except Exception:
         flops256 = bytes256 = 0.0
-    best256 = float("inf")
+    w256 = []
     for w in range(2):
         t0 = time.perf_counter()
         for i in range(5):
             state256, m256 = step256(state256, img256, clean256, jax.random.PRNGKey(200 + w * 5 + i))
         jax.block_until_ready(m256["loss"])
-        best256 = min(best256, (time.perf_counter() - t0) / 5)
+        w256.append((time.perf_counter() - t0) / 5)
+    best256 = min(w256)
     def _one_256_step():
         nonlocal state256
         state256, m = step256(state256, img256, clean256, jax.random.PRNGKey(998))
@@ -209,13 +215,14 @@ def main():
     for i in range(2):
         state256b, m256b = step256b(state256b, img256, clean256, jax.random.PRNGKey(i))
     jax.block_until_ready(m256b["loss"])
-    best256b = float("inf")
+    w256b = []
     for w in range(2):
         t0 = time.perf_counter()
         for i in range(5):
             state256b, m256b = step256b(state256b, img256, clean256, jax.random.PRNGKey(300 + w * 5 + i))
         jax.block_until_ready(m256b["loss"])
-        best256b = min(best256b, (time.perf_counter() - t0) / 5)
+        w256b.append((time.perf_counter() - t0) / 5)
+    best256b = min(w256b)
 
     dt_step = best_dt / MEASURE_STEPS
     v5e_peak_flops, v5e_hbm = 197e12, 819e9
@@ -231,6 +238,14 @@ def main():
         "baseline_basis": "estimate",
         "baseline_train_samples_per_sec_est": A100_TRAIN_SAMPLES_PER_SEC_EST,
         "baseline_sampling_imgs_per_sec_est": A100_SAMPLING_IMGS_PER_SEC_EST,
+        # run-to-run error bars (VERDICT r4 #8): spread of the repeated timing
+        # windows/runs around the reported best, same process, same compiled step
+        "train_window_spread_pct": round(
+            (max(train_windows) - min(train_windows)) / min(train_windows) * 100, 1
+        ),
+        "sampling_run_spread_pct": round(
+            (max(samp_runs) - min(samp_runs)) / min(samp_runs) * 100, 1
+        ),
     }
     if step_flops:
         out["train_mfu_pct"] = round(step_flops / dt_step / v5e_peak_flops * 100, 1)
@@ -244,9 +259,13 @@ def main():
     # 256px canonical fields (micro-batch 4 x accum 16, global 64)
     out["train256_samples_per_sec"] = round(64 / best256, 2)
     out["train256_step_ms"] = round(best256 * 1e3, 1)
+    out["train256_window_spread_pct"] = round((max(w256) - min(w256)) / min(w256) * 100, 1)
     # TPU-tuned 256px config (micro-batch 8 x accum 8, same global 64)
     out["train256_tuned_samples_per_sec"] = round(64 / best256b, 2)
     out["train256_tuned_step_ms"] = round(best256b * 1e3, 1)
+    out["train256_tuned_window_spread_pct"] = round(
+        (max(w256b) - min(w256b)) / min(w256b) * 100, 1
+    )
     if flops256:
         out["train256_tuned_mfu_pct"] = round(flops256 / best256b / v5e_peak_flops * 100, 1)
     if flops256:
