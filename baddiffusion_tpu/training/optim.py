@@ -11,6 +11,7 @@ matching `diffusers/optimization.py:109-141` exactly:
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -122,4 +123,13 @@ def make_optimizer(
         parts.append(optax.clip_by_global_norm(grad_clip))
     # torch.optim.Adam defaults (baddiffusion.py:320): b1=0.9 b2=0.999 eps=1e-8
     parts.append(optax.adam(learning_rate=lr_schedule, b1=0.9, b2=0.999, eps=1e-8))
-    return optax.chain(*parts), lr_schedule
+    tx = optax.chain(*parts)
+    if os.environ.get("BADDIFFUSION_FLAT_ADAM") == "1":
+        # experiment gate (lever_bench.py): run the whole update over ONE
+        # flattened parameter vector. The profiled 32px step spends ~5.5 ms
+        # (~18% of device time) in ~500 per-tensor Adam kLoop fusions; Adam is
+        # elementwise, so flattening is mathematically identical while giving
+        # XLA a single large fusion. Changes the optimizer-state pytree layout
+        # (not checkpoint-compatible with the default), hence opt-in.
+        tx = optax.flatten(tx)
+    return tx, lr_schedule

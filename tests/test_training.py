@@ -426,3 +426,30 @@ def test_ve_score_matching_step():
     assert all(np.isfinite(l) for l in losses), losses
     assert losses[-1] < losses[0], losses
     assert int(state.step) == 10
+
+
+def test_flat_adam_lever_matches_default(monkeypatch):
+    """BADDIFFUSION_FLAT_ADAM=1 (training/optim.py) flattens the update into
+    one vector op — mathematically identical Adam, different state layout."""
+    import optax
+
+    params = {
+        "a": {"w": jnp.arange(6.0).reshape(2, 3) / 7.0, "b": jnp.ones((3,))},
+        "c": jnp.linspace(-1.0, 1.0, 5),
+    }
+    grads = jax.tree.map(lambda p: jnp.cos(p) * 0.3, params)
+
+    def one_step():
+        tx, _ = make_optimizer(1e-3, num_warmup_steps=0, num_training_steps=10)
+        st = tx.init(params)
+        upd, _ = tx.update(grads, st, params)
+        return optax.apply_updates(params, upd)
+
+    baseline = one_step()
+    monkeypatch.setenv("BADDIFFUSION_FLAT_ADAM", "1")
+    flat = one_step()
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-7),
+        baseline,
+        flat,
+    )
